@@ -1,0 +1,143 @@
+"""Single validated configuration shared by every phase.
+
+The reference spreads its configuration over per-script argparse flags with a
+fragile manual consistency contract (``--num-hops``/``--preprocess``/
+``--num-workers`` must agree between partitioner, server and trainer;
+reference: README.md:115-117, examples/profile/pa_gcn.py:117-151).  Here a
+single dataclass is built once and handed to the partitioner, sampler, cache
+and trainer, so the ``hops = layers - 1 iff preprocess`` rule
+(reference: server/pa_server.py:72) is enforced in one place.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    arch: str = "gcn"                 # gcn | graphsage | gcn_cv
+    n_layers: int = 1                 # hidden layers (reference convention: total GNN layers = n_layers + 1)
+    hidden: int = 32
+    feat_dim: int = 600
+    n_classes: int = 60
+    dropout: float = 0.2
+    aggregator: str = "mean"          # graphsage: mean | gcn | pool | lstm
+    preprocess: bool = False          # layer-0 pre-aggregated server-side
+
+    @property
+    def num_gnn_layers(self) -> int:
+        return self.n_layers + 1
+
+    @property
+    def num_sampled_hops(self) -> int:
+        """Hops the sampler must expand: one less under preprocess
+        (reference: server/pa_server.py:72)."""
+        return self.num_gnn_layers - (1 if self.preprocess else 0)
+
+
+@dataclasses.dataclass
+class SamplerConfig:
+    batch_size: int = 6000
+    fanout: int = 2                   # neighbors per vertex per hop (reference default --num-neighbors 2)
+    num_hops: int = 2                 # layered expansion depth
+    include_self: bool = True         # dst vertex kept in src layer (NodeFlow semantics)
+    cap_factor: float = 1.0           # scales worst-case per-layer capacity
+    backend: str = "auto"             # auto | numpy | native
+    prefetch: int = 2                 # batches in flight (loader double-buffering)
+    seed: int = 0
+
+    def layer_capacities(self, num_nodes: int, pad_to: int = 8) -> Tuple[int, ...]:
+        """Static padded capacity of each minibatch layer, seeds last.
+
+        Layer ``num_hops`` holds the seeds (batch_size wide); each outer layer
+        can hold at most prev * (fanout + include_self) unique vertices, capped
+        at the graph size.  Shapes are rounded up so every batch reuses one XLA
+        executable.
+        """
+        caps = [self.batch_size]
+        growth = self.fanout + (1 if self.include_self else 0)
+        for _ in range(self.num_hops):
+            nxt = min(int(caps[-1] * growth * self.cap_factor), num_nodes)
+            nxt = max(nxt, 1)
+            caps.append(nxt)
+        caps = [-(-c // pad_to) * pad_to for c in caps]
+        return tuple(reversed(caps))  # index 0 = outermost layer
+
+
+@dataclasses.dataclass
+class CacheConfig:
+    enabled: bool = True
+    capacity: Optional[int] = None    # vertices; None = auto from HBM budget
+    hbm_reserve_bytes: int = 1 << 30  # headroom kept free (reference keeps 1 GiB, storage.py:81)
+    rank_by: str = "out_degree"       # out_degree | in_degree | access_freq
+    track_stats: bool = True
+
+
+@dataclasses.dataclass
+class PartitionConfig:
+    num_parts: int = 1
+    method: str = "dg"                # dg | hash
+    num_hops: int = 1                 # closure depth for self-reliance
+    ordering: bool = False            # locality reordering before partitioning
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    lr: float = 3e-2
+    epochs: int = 10
+    log_every: int = 20
+    warmup_epochs: int = 2            # excluded from epoch-time mean (reference: pa_gcn.py:106)
+    ckpt_dir: Optional[str] = None
+    ckpt_every: int = 0               # epochs between checkpoints; 0 = off
+    remote_sampling: bool = False     # isolation mode: sampling in worker procs
+    dtype: str = "float32"            # compute dtype for activations
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    sampler: SamplerConfig = dataclasses.field(default_factory=SamplerConfig)
+    cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
+    partition: PartitionConfig = dataclasses.field(default_factory=PartitionConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    def __post_init__(self):
+        self.validate()
+
+    def validate(self) -> None:
+        m, s = self.model, self.sampler
+        if m.arch not in ("gcn", "graphsage", "gcn_cv"):
+            raise ValueError(f"unknown arch {m.arch!r}")
+        if m.aggregator not in ("mean", "gcn", "pool", "lstm"):
+            raise ValueError(f"unknown aggregator {m.aggregator!r}")
+        # The one cross-phase contract the reference leaves to the user:
+        if s.num_hops != m.num_sampled_hops:
+            raise ValueError(
+                f"sampler.num_hops={s.num_hops} must equal "
+                f"model layers{'-1 (preprocess)' if m.preprocess else ''}"
+                f"={m.num_sampled_hops}"
+            )
+        if self.partition.num_hops < 1:
+            raise ValueError("partition.num_hops must be >= 1")
+
+    def sync_hops(self) -> "Config":
+        """Derive sampler/partition hops from the model (the safe default)."""
+        self.sampler.num_hops = self.model.num_sampled_hops
+        self.partition.num_hops = self.model.num_sampled_hops
+        return self
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+        return cls(
+            model=ModelConfig(**raw.get("model", {})),
+            sampler=SamplerConfig(**raw.get("sampler", {})),
+            cache=CacheConfig(**raw.get("cache", {})),
+            partition=PartitionConfig(**raw.get("partition", {})),
+            train=TrainConfig(**raw.get("train", {})),
+        )

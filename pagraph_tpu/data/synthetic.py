@@ -1,0 +1,127 @@
+"""Synthetic graph generation.
+
+Covers the reference's dataset tooling for smoke tests and benchmarks:
+uniform G(n, m) random graphs (reference: PaGraph/data/gen_dataset.py:7-10 via
+networkx) and an RMAT generator (the reference shells out to the external C++
+PaRMAT tool, README.md:36-41; here it is a vectorized numpy implementation so
+no external binary is needed).  Random features / labels / split masks follow
+PaGraph/data/preprocess.py:50-114.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as spsp
+
+from ..graph import CSRGraph
+from .formats import Dataset
+
+
+def random_coo(
+    num_nodes: int,
+    num_edges: int,
+    *,
+    seed: int = 0,
+    self_loops: bool = False,
+) -> spsp.coo_matrix:
+    """Uniform directed G(n, m) multigraph edges, dedup'd."""
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, num_nodes, size=num_edges, dtype=np.int64)
+    dst = rng.integers(0, num_nodes, size=num_edges, dtype=np.int64)
+    if not self_loops:
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+    data = np.ones(len(src), dtype=np.float32)
+    coo = spsp.coo_matrix((data, (dst, src)), shape=(num_nodes, num_nodes))
+    return coo
+
+
+def rmat_coo(
+    scale: int,
+    edge_factor: int = 16,
+    *,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 0,
+) -> spsp.coo_matrix:
+    """R-MAT power-law graph: 2**scale vertices, edge_factor * V edges.
+
+    Vectorized recursive quadrant descent (Graph500 parameters by default).
+    Replaces the reference's external PaRMAT dependency (README.md:36-41).
+    """
+    n = 1 << scale
+    m = n * edge_factor
+    rng = np.random.default_rng(seed)
+    src = np.zeros(m, dtype=np.int64)
+    dst = np.zeros(m, dtype=np.int64)
+    for bit in range(scale):
+        r = rng.random(m)
+        # quadrant probabilities: (0,0)=a, (0,1)=b, (1,0)=c, (1,1)=d
+        src_bit = (r >= a + b).astype(np.int64)
+        dst_bit = (((r >= a) & (r < a + b)) | (r >= a + b + c)).astype(np.int64)
+        src = (src << 1) | src_bit
+        dst = (dst << 1) | dst_bit
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    data = np.ones(len(src), dtype=np.float32)
+    return spsp.coo_matrix((data, (dst, src)), shape=(n, n))
+
+
+def random_split_masks(
+    num_nodes: int,
+    *,
+    train_frac: float = 0.65,
+    val_frac: float = 0.10,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """65/10/25 split (reference: data/preprocess.py:83-114)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(num_nodes)
+    n_train = int(num_nodes * train_frac)
+    n_val = int(num_nodes * val_frac)
+    train = np.zeros(num_nodes, dtype=bool)
+    val = np.zeros(num_nodes, dtype=bool)
+    test = np.zeros(num_nodes, dtype=bool)
+    train[perm[:n_train]] = True
+    val[perm[n_train:n_train + n_val]] = True
+    test[perm[n_train + n_val:]] = True
+    return train, val, test
+
+
+def synthetic_dataset(
+    num_nodes: int = 10_000,
+    num_edges: int = 40_000,
+    *,
+    feat_dim: int = 600,
+    num_classes: int = 60,
+    kind: str = "uniform",          # uniform | rmat
+    seed: int = 0,
+    train_frac: float = 0.65,
+    learnable: bool = False,
+) -> Dataset:
+    """A complete in-memory dataset for tests and benchmarks.
+
+    With ``learnable=True`` labels are the argmax of a random linear
+    projection of the features (instead of uniform noise), so training can
+    actually reduce loss — used by convergence tests.
+    """
+    if kind == "uniform":
+        coo = random_coo(num_nodes, num_edges, seed=seed)
+    elif kind == "rmat":
+        scale = int(np.ceil(np.log2(max(num_nodes, 2))))
+        coo = rmat_coo(scale, max(1, num_edges // (1 << scale)), seed=seed)
+        num_nodes = coo.shape[0]
+    else:
+        raise ValueError(f"unknown kind {kind!r}")
+    graph = CSRGraph.from_coo(coo)
+    rng = np.random.default_rng(seed + 1)
+    features = rng.random((graph.num_nodes, feat_dim), dtype=np.float32)
+    if learnable:
+        proj = rng.normal(size=(feat_dim, num_classes)).astype(np.float32)
+        labels = np.argmax(features @ proj, axis=1).astype(np.int64)
+    else:
+        labels = rng.integers(0, num_classes, size=graph.num_nodes).astype(np.int64)
+    train, val, test = random_split_masks(
+        graph.num_nodes, train_frac=train_frac, seed=seed + 2
+    )
+    return Dataset(graph, features, labels, train, val, test)

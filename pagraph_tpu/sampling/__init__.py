@@ -1,0 +1,3 @@
+"""Sampling: fixed-shape minibatch IR + host neighbor samplers + loaders."""
+from .block import Block, MiniBatch
+from .sampler import NeighborSampler, sample_minibatch

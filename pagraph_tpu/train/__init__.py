@@ -1,0 +1,3 @@
+"""Training: state, objectives, loop, checkpointing."""
+from .objective import masked_accuracy, masked_cross_entropy
+from .state import TrainState, create_state, make_train_step

@@ -1,0 +1,70 @@
+"""Train state and single-device train step.
+
+The reference couples model, DDP wrapper, optimizer and loop in each trainer
+script (examples/profile/pa_gcn.py:53-97); here the state is one pytree and
+the step is one jitted function.  The multi-device variant (shard_map + psum)
+lives in ``pagraph_tpu.parallel.train_step``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models import get_model
+from ..sampling.block import MiniBatch
+from .objective import masked_accuracy, masked_cross_entropy
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array          # int32 scalar
+    rng: jax.Array           # dropout PRNG key
+
+
+def create_state(cfg: Config, seed: int = 0) -> tuple[TrainState, optax.GradientTransformation]:
+    init_fn, _ = get_model(cfg.model)
+    key = jax.random.PRNGKey(seed)
+    pkey, dkey = jax.random.split(key)
+    params = init_fn(pkey, cfg.model)
+    tx = optax.adam(cfg.train.lr)
+    opt_state = tx.init(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32), rng=dkey), tx
+
+
+def make_train_step(cfg: Config, tx: optax.GradientTransformation) -> Callable:
+    """Build the jitted (state, minibatch, feats[, neigh_feats]) -> (state, metrics) step."""
+    _, apply_fn = get_model(cfg.model)
+    sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
+
+    @jax.jit
+    def train_step(state: TrainState, mb: MiniBatch, feats: jax.Array,
+                   neigh_feats: Optional[jax.Array] = None):
+        rng, sub = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            kwargs = dict(train=True, dropout_rng=sub)
+            if sage_pre:
+                kwargs["neigh_feats"] = neigh_feats
+            logits = apply_fn(params, cfg.model, mb, feats, **kwargs)
+            loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = masked_accuracy(logits, mb.labels, mb.seed_mask)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, rng=rng)
+        return new_state, {"loss": loss, "acc": acc}
+
+    return train_step
