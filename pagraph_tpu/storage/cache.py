@@ -1,0 +1,197 @@
+"""HBM-resident static feature cache with degree ranking.
+
+TPU-native re-design of the reference's ``GraphCacheServer``
+(reference: PaGraph/storage/storage.py:18-227).  Differences forced (and
+enabled) by the XLA model:
+
+  * The reference mutates NodeFlow frames in place per layer; here the cache
+    is a read-only device array ``[capacity, total_dim]`` and batch assembly
+    is a **functional** jitted gather-select (``assemble_features``) — one
+    gather from HBM cache, one from the freshly transferred miss rows.
+  * The hit/miss split runs on the host in vectorized numpy while the
+    previous step computes on device (the loader overlaps them), producing a
+    ``FetchPlan`` of statically bucketed shapes so XLA never recompiles.
+  * Capacity auto-sizing keeps the reference's policy: fill whatever HBM
+    remains after a warm-up step, ranked by **local out-degree**
+    (storage.py:77-104); on TPU array sizes are static so the budget can also
+    be computed ahead of time.
+
+Only the outermost minibatch layer is fetched: deeper layers are
+prefix-subsets (see sampling/block.py), so slicing the layer-0 features covers
+every layer — the reference must fetch per NodeFlow layer instead
+(storage.py:157-204).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import CSRGraph
+from .feature_store import FeatureStore
+
+
+def bucket_size(n: int, cap: int, min_bucket: int = 512) -> int:
+    """Round a miss count up to a power-of-two bucket (bounded recompiles)."""
+    if n <= 0:
+        return 0
+    b = min_bucket
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FetchPlan:
+    """Host-computed per-batch cache plan (device-transferable pytree)."""
+
+    hit_mask: jax.Array      # bool  [cap0] gather from cache
+    cache_pos: jax.Array     # int32 [cap0] row in cache_values (0 if miss)
+    miss_slot: jax.Array     # int32 [cap0] row in miss_feats   (0 if hit)
+    miss_feats: jax.Array    # f32   [bucket, total_dim] gathered from host store
+
+
+def assemble_features(cache_values: jax.Array, plan: FetchPlan) -> jax.Array:
+    """Jit-side batch feature assembly -> [cap0, total_dim]."""
+    hits = jnp.take(cache_values, plan.cache_pos, axis=0)
+    if plan.miss_feats.shape[0] == 0:
+        return hits
+    misses = jnp.take(plan.miss_feats, plan.miss_slot, axis=0)
+    return jnp.where(plan.hit_mask[:, None], hits, misses)
+
+
+class FeatureCache:
+    """Per-device static cache over a partition's LOCAL vertex space."""
+
+    def __init__(
+        self,
+        store: FeatureStore,
+        field_names: Sequence[str],
+        local_graph: CSRGraph,
+        local2full: Optional[np.ndarray] = None,
+        *,
+        device: Optional[jax.Device] = None,
+    ):
+        self.store = store
+        self.field_names = list(field_names)
+        self.graph = local_graph
+        self.local2full = (
+            np.asarray(local2full, dtype=np.int64)
+            if local2full is not None
+            else np.arange(local_graph.num_nodes, dtype=np.int64)
+        )
+        self.device = device
+        self.total_dim = store.total_dim(self.field_names)
+        self.field_offsets = store.field_offsets(self.field_names)
+        n = local_graph.num_nodes
+        # residency map: local id -> cache row, or -1
+        self.cache_map = np.full(n, -1, dtype=np.int32)
+        self.cache_values: Optional[jax.Array] = None
+        self.capacity = 0
+        self.fully_cached = False
+        # miss-rate accounting (reference: storage.py:219-227)
+        self.try_num = 0
+        self.miss_num = 0
+
+    # -- fill ---------------------------------------------------------------
+
+    def rank_vertices(self, rank_by: str = "out_degree") -> np.ndarray:
+        if rank_by == "out_degree":
+            score = self.graph.out_degrees
+        elif rank_by == "in_degree":
+            score = self.graph.in_degrees
+        else:
+            raise ValueError(f"unknown rank_by {rank_by!r}")
+        return np.argsort(-score, kind="stable")
+
+    def auto_capacity(self, reserve_bytes: int = 1 << 30) -> int:
+        """Vertices that fit in free HBM (reference: storage.py:77-88)."""
+        from ..utils.platform import free_hbm_bytes
+
+        free = free_hbm_bytes(self.device, reserve=reserve_bytes)
+        return int(free // (self.total_dim * 4))
+
+    def fill(self, capacity: Optional[int] = None, rank_by: str = "out_degree") -> None:
+        """Size and populate the cache (reference ``auto_cache``,
+        storage.py:70-104): cache everything if it fits, else the top-capacity
+        vertices by local out-degree."""
+        n = self.graph.num_nodes
+        if capacity is None:
+            capacity = self.auto_capacity()
+        capacity = max(0, min(capacity, n))
+        self.capacity = capacity
+        self.fully_cached = capacity >= n
+        if capacity == 0:
+            self.cache_values = jnp.zeros((1, self.total_dim), dtype=jnp.float32)
+            return
+        if self.fully_cached:
+            chosen = np.arange(n, dtype=np.int64)
+        else:
+            chosen = self.rank_vertices(rank_by)[:capacity].astype(np.int64)
+        self.cache_map[:] = -1
+        self.cache_map[chosen] = np.arange(len(chosen), dtype=np.int32)
+        host_rows = self.store.gather(self.field_names, self.local2full[chosen])
+        arr = jnp.asarray(host_rows)
+        if self.device is not None:
+            arr = jax.device_put(arr, self.device)
+        self.cache_values = arr
+
+    # -- per-batch fetch ----------------------------------------------------
+
+    def fetch_plan(
+        self,
+        input_nids: np.ndarray,     # int32 [cap0] LOCAL ids (padded)
+        input_mask: np.ndarray,     # bool  [cap0]
+        *,
+        to_device: bool = False,
+        track: bool = True,
+    ) -> FetchPlan:
+        """Host-side hit/miss split + miss gather (the loader runs this in a
+        background thread; the device assembly happens inside the train step).
+        Returns numpy arrays unless ``to_device``."""
+        nids = np.asarray(input_nids)
+        mask = np.asarray(input_mask)
+        cap0 = len(nids)
+        pos = self.cache_map[nids]
+        hit = (pos >= 0) & mask
+        miss = (~hit) & mask
+        n_miss = int(miss.sum())
+        if track:
+            self.try_num += int(mask.sum())
+            self.miss_num += n_miss
+        bucket = bucket_size(n_miss, cap0)
+        miss_feats = np.zeros((bucket, self.total_dim), dtype=np.float32)
+        miss_slot = np.zeros(cap0, dtype=np.int32)
+        if n_miss:
+            miss_idx = np.nonzero(miss)[0]
+            miss_slot[miss_idx] = np.arange(n_miss, dtype=np.int32)
+            self.store.gather(
+                self.field_names,
+                self.local2full[nids[miss_idx]],
+                out=miss_feats[:n_miss],
+            )
+        plan = FetchPlan(
+            hit_mask=hit,
+            cache_pos=np.where(hit, pos, 0).astype(np.int32),
+            miss_slot=miss_slot,
+            miss_feats=miss_feats,
+        )
+        if to_device:
+            plan = jax.tree.map(
+                lambda x: jax.device_put(x, self.device) if self.device else jnp.asarray(x),
+                plan,
+            )
+        return plan
+
+    # -- metrics ------------------------------------------------------------
+
+    def miss_rate(self) -> float:
+        return self.miss_num / self.try_num if self.try_num else 0.0
+
+    def reset_stats(self) -> None:
+        self.try_num = 0
+        self.miss_num = 0

@@ -1,0 +1,164 @@
+"""Single-device training loop — the flagship trainer.
+
+Functional re-design of the reference's per-GPU trainer process
+(reference: examples/profile/pa_gcn.py:27-113): attach store, build cache,
+sample, fetch, step — with the reference's measurement methodology (epoch
+times excluding warm-up epochs, per-epoch cache miss rate, load/compute phase
+split).  Multi-device data parallelism lives in ``pagraph_tpu.parallel``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.formats import Dataset, PartitionArtifact
+from ..graph import CSRGraph
+from ..sampling.loader import PrefetchLoader
+from ..sampling.sampler import NeighborSampler
+from ..storage.cache import FeatureCache
+from ..storage.feature_store import FeatureStore
+from ..utils.timers import PhaseTimers
+from .state import TrainState, create_state, make_cached_train_step
+
+
+@dataclasses.dataclass
+class EpochMetrics:
+    epoch: int
+    mean_loss: float
+    mean_acc: float
+    time_s: float
+    miss_rate: float
+    num_batches: int
+
+
+class Trainer:
+    """One-device trainer over a (partition of a) dataset."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        store: FeatureStore,
+        local_graph: CSRGraph,
+        train_nids: np.ndarray,          # LOCAL ids
+        labels: np.ndarray,              # LOCAL space labels
+        local2full: Optional[np.ndarray] = None,
+        *,
+        device: Optional[jax.Device] = None,
+        seed: int = 0,
+        log: bool = False,
+    ):
+        self.cfg = cfg
+        self.store = store
+        self.device = device
+        self.log = log
+        field_names = ["features"]
+        if cfg.model.arch == "graphsage" and cfg.model.preprocess:
+            field_names.append("neigh")
+        self.cache = FeatureCache(
+            store, field_names, local_graph, local2full, device=device
+        )
+        self.sampler = NeighborSampler(
+            local_graph, train_nids, cfg.sampler, labels=labels, seed=seed,
+        )
+        self.loader = PrefetchLoader(
+            self.sampler, self.cache,
+            prefetch=cfg.sampler.prefetch, device=device,
+        )
+        self.state, self._tx = create_state(cfg, seed=seed)
+        if device is not None:
+            self.state = jax.device_put(self.state, device)
+        self.step_fn = make_cached_train_step(
+            cfg, self._tx, self.cache.field_offsets
+        )
+        self.timers = PhaseTimers()
+        self._cache_filled = False
+        self.epoch_metrics: List[EpochMetrics] = []
+
+    @classmethod
+    def from_dataset(cls, cfg: Config, ds: Dataset, **kw) -> "Trainer":
+        store = FeatureStore.build(
+            ds.graph, ds.features,
+            preprocess=(cfg.model.arch if cfg.model.preprocess else None),
+        )
+        return cls(cfg, store, ds.graph, ds.train_nids, ds.labels, **kw)
+
+    @classmethod
+    def from_partition(cls, cfg: Config, part: PartitionArtifact,
+                       store: FeatureStore, **kw) -> "Trainer":
+        return cls(cfg, store, part.graph, part.train_nids, part.labels,
+                   part.local2full, **kw)
+
+    def _maybe_fill_cache(self) -> None:
+        """Reference policy: size & fill the cache after the first training
+        step, when peak memory is known (pa_gcn.py:99-100)."""
+        if self._cache_filled:
+            return
+        c = self.cfg.cache
+        cap = 0 if not c.enabled else c.capacity
+        self.cache.fill(capacity=cap, rank_by=c.rank_by)
+        self._cache_filled = True
+        if self.log:
+            print(
+                f"[cache] capacity={self.cache.capacity} vertices "
+                f"({'full' if self.cache.fully_cached else 'partial'})"
+            )
+
+    def run_epoch(self, epoch: int = 0) -> EpochMetrics:
+        t_epoch = time.perf_counter()
+        self.cache.reset_stats()
+        tot_loss = tot_acc = 0.0
+        nb = 0
+        first_step = not self._cache_filled
+        if first_step:
+            # warm-up step on the first batch with an empty cache, then fill
+            self._maybe_fill_cache()
+        for mb, plan in self.loader.epoch():
+            with self.timers.scope("step"):
+                self.state, metrics = self.step_fn(
+                    self.state, mb, plan, self.cache.cache_values
+                )
+            tot_loss += float(metrics["loss"])
+            tot_acc += float(metrics["acc"])
+            nb += 1
+            if self.log and nb % self.cfg.train.log_every == 0:
+                print(f"  step {nb}: loss={float(metrics['loss']):.4f}")
+        em = EpochMetrics(
+            epoch=epoch,
+            mean_loss=tot_loss / max(nb, 1),
+            mean_acc=tot_acc / max(nb, 1),
+            time_s=time.perf_counter() - t_epoch,
+            miss_rate=self.cache.miss_rate(),
+            num_batches=nb,
+        )
+        self.epoch_metrics.append(em)
+        if self.log:
+            print(
+                f"epoch {epoch}: loss={em.mean_loss:.4f} acc={em.mean_acc:.3f} "
+                f"time={em.time_s:.2f}s miss={em.miss_rate:.1%}"
+            )
+        return em
+
+    def train(self, epochs: Optional[int] = None) -> Dict:
+        epochs = epochs or self.cfg.train.epochs
+        for e in range(epochs):
+            self.run_epoch(e)
+        return self.summary()
+
+    def summary(self) -> Dict:
+        """Mean epoch time excluding warm-up epochs (reference:
+        pa_gcn.py:104-106 excludes the first 2)."""
+        w = self.cfg.train.warmup_epochs
+        steady = self.epoch_metrics[w:] or self.epoch_metrics
+        return {
+            "epochs": len(self.epoch_metrics),
+            "mean_epoch_time_s": float(np.mean([m.time_s for m in steady])),
+            "final_loss": self.epoch_metrics[-1].mean_loss if self.epoch_metrics else None,
+            "final_acc": self.epoch_metrics[-1].mean_acc if self.epoch_metrics else None,
+            "miss_rate": self.epoch_metrics[-1].miss_rate if self.epoch_metrics else None,
+            "phase_timers": self.timers.summary(),
+        }

@@ -18,6 +18,7 @@ import optax
 from ..config import Config
 from ..models import get_model
 from ..sampling.block import MiniBatch
+from ..storage.cache import FetchPlan, assemble_features
 from .objective import masked_accuracy, masked_cross_entropy
 
 
@@ -55,6 +56,47 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation) -> Callable:
             kwargs = dict(train=True, dropout_rng=sub)
             if sage_pre:
                 kwargs["neigh_feats"] = neigh_feats
+            logits = apply_fn(params, cfg.model, mb, feats, **kwargs)
+            loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = masked_accuracy(logits, mb.labels, mb.seed_mask)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, rng=rng)
+        return new_state, {"loss": loss, "acc": acc}
+
+    return train_step
+
+
+def make_cached_train_step(cfg: Config, tx: optax.GradientTransformation,
+                           field_offsets: dict) -> Callable:
+    """Train step consuming a cache :class:`FetchPlan` instead of raw
+    features: assembles the fused [cap0, total_dim] feature block inside jit
+    from the HBM cache + the transferred miss rows, then slices model fields.
+
+    This is the TPU analog of the reference hot loop's
+    'gpu-load' -> 'gpu-compute' sequence (pa_gcn.py:87-97) with the load
+    stage fused into the compiled step.
+    """
+    _, apply_fn = get_model(cfg.model)
+    sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
+    feat_slice = field_offsets["features"]
+    neigh_slice = field_offsets.get("neigh")
+
+    @jax.jit
+    def train_step(state: TrainState, mb: MiniBatch, plan: FetchPlan,
+                   cache_values: jax.Array):
+        rng, sub = jax.random.split(state.rng)
+        fused = assemble_features(cache_values, plan)
+        feats = fused[:, feat_slice]
+
+        def loss_fn(params):
+            kwargs = dict(train=True, dropout_rng=sub)
+            if sage_pre:
+                kwargs["neigh_feats"] = fused[:, neigh_slice]
             logits = apply_fn(params, cfg.model, mb, feats, **kwargs)
             loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
             return loss, logits

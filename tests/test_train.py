@@ -1,0 +1,89 @@
+"""End-to-end training slice: loss decreases, cache path == direct path."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import pagraph_tpu as pg
+from pagraph_tpu.data.synthetic import synthetic_dataset
+from pagraph_tpu.train.loop import Trainer
+
+
+@pytest.fixture(scope="module")
+def learn_ds():
+    return synthetic_dataset(
+        num_nodes=800, num_edges=6000, feat_dim=32, num_classes=6,
+        seed=5, learnable=True,
+    )
+
+
+def _cfg(arch="gcn", **model_kw):
+    m = pg.ModelConfig(arch=arch, n_layers=1, hidden=24, feat_dim=32,
+                       n_classes=6, **model_kw)
+    c = pg.Config(
+        model=m,
+        sampler=pg.SamplerConfig(batch_size=128, fanout=2,
+                                 num_hops=m.num_sampled_hops, seed=4),
+        train=pg.TrainConfig(lr=1e-2, epochs=4, warmup_epochs=1),
+    )
+    return c
+
+
+@pytest.mark.parametrize("arch", ["gcn", "graphsage"])
+def test_training_reduces_loss(learn_ds, arch):
+    cfg = _cfg(arch)
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(4)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert tr.epoch_metrics[-1].miss_rate == 0.0  # tiny graph fully cached
+
+
+def test_training_with_partial_cache_matches_full(learn_ds):
+    """Same seed, cache capacity 50 vs full: identical loss trajectory
+    (the cache must be semantically invisible)."""
+    runs = []
+    for capacity in (50, None):
+        cfg = _cfg("gcn")
+        cfg.cache.capacity = capacity
+        tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+        tr.train(2)
+        runs.append([m.mean_loss for m in tr.epoch_metrics])
+    np.testing.assert_allclose(runs[0], runs[1], rtol=1e-5)
+
+
+def test_cache_disabled_matches_enabled(learn_ds):
+    runs = []
+    for enabled in (False, True):
+        cfg = _cfg("gcn")
+        cfg.cache.enabled = enabled
+        tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+        tr.train(2)
+        runs.append([m.mean_loss for m in tr.epoch_metrics])
+    np.testing.assert_allclose(runs[0], runs[1], rtol=1e-5)
+    assert runs[0] == runs[0]
+
+
+def test_gcn_preprocess_trains(learn_ds):
+    cfg = _cfg("gcn", preprocess=True)
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(3)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0], losses
+
+
+def test_sage_preprocess_trains(learn_ds):
+    cfg = _cfg("graphsage", preprocess=True)
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(3)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0], losses
+
+
+def test_summary_shape(learn_ds):
+    cfg = _cfg("gcn")
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    s = tr.train(3)
+    assert s["epochs"] == 3
+    assert s["mean_epoch_time_s"] > 0
+    assert "step" in s["phase_timers"]
