@@ -149,4 +149,10 @@ def load_partition(dirpath: str, rank: int) -> PartitionArtifact:
     train_nids = np.load(os.path.join(dirpath, f"sub_trainid_{rank}.npy")).astype(np.int64)
     local2full = np.load(os.path.join(dirpath, f"sub_train2fullid_{rank}.npy")).astype(np.int64)
     labels = np.load(os.path.join(dirpath, f"sub_label_{rank}.npy")).astype(np.int64)
+    if len(labels) == len(train_nids) != graph.num_nodes:
+        # Reference-written partitions store train-vertex labels only
+        # (dg.py:154); scatter them into the full local space.
+        full = np.zeros(graph.num_nodes, dtype=np.int64)
+        full[train_nids] = labels
+        labels = full
     return PartitionArtifact(graph, train_nids, local2full, labels)
