@@ -1,0 +1,111 @@
+"""Shared CLI plumbing: config flags -> Config, platform setup.
+
+One flag surface shared by every command replaces the reference's
+re-declared per-script argparse contracts (reference: pa_gcn.py:117-151,
+pa_server.py:84-109, README.md:115-117).
+"""
+from __future__ import annotations
+
+import argparse
+
+import pagraph_tpu as pg
+
+
+def add_model_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--arch", choices=["gcn", "graphsage", "gcn_cv"],
+                   default="gcn")
+    p.add_argument("--n-layers", type=int, default=1,
+                   help="hidden layers (total GNN layers = n_layers + 1)")
+    p.add_argument("--n-hidden", type=int, default=32)
+    p.add_argument("--n-classes", type=int, default=0,
+                   help="0 = infer from labels")
+    p.add_argument("--feat-size", type=int, default=0,
+                   help="0 = infer from features")
+    p.add_argument("--dropout", type=float, default=0.2)
+    p.add_argument("--agg", choices=["mean", "gcn", "pool", "lstm"],
+                   default="mean")
+    p.add_argument("--preprocess", action="store_true",
+                   help="server-side layer-0 pre-aggregation (one hop less)")
+
+
+def add_sampler_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--batch-size", type=int, default=6000)
+    p.add_argument("--num-neighbors", type=int, default=2)
+    p.add_argument("--prefetch", type=int, default=2)
+    p.add_argument("--sampler-backend", choices=["auto", "numpy", "native"],
+                   default="auto")
+
+
+def add_cache_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--no-cache", action="store_true",
+                   help="disable the HBM feature cache (DGL-baseline mode)")
+    p.add_argument("--cache-capacity", type=int, default=0,
+                   help="vertices; 0 = auto-size from free HBM")
+
+
+def add_train_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--lr", type=float, default=3e-2)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def add_partition_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--partition", type=int, default=1,
+                   help="number of partitions / chips")
+    p.add_argument("--partition-method", choices=["dg", "hash"], default="dg")
+    p.add_argument("--ordering", action="store_true",
+                   help="locality reordering before partitioning")
+
+
+def build_config(args, *, feat_dim: int, n_classes: int) -> pg.Config:
+    model = pg.ModelConfig(
+        arch=args.arch,
+        n_layers=args.n_layers,
+        hidden=args.n_hidden,
+        feat_dim=args.feat_size or feat_dim,
+        n_classes=args.n_classes or n_classes,
+        dropout=args.dropout,
+        aggregator=args.agg,
+        preprocess=getattr(args, "preprocess", False),
+    )
+    cfg = pg.Config(
+        model=model,
+        sampler=pg.SamplerConfig(
+            batch_size=args.batch_size,
+            fanout=args.num_neighbors,
+            num_hops=model.num_sampled_hops,
+            prefetch=args.prefetch,
+            backend=args.sampler_backend,
+            seed=args.seed,
+        ),
+        cache=pg.CacheConfig(
+            enabled=not args.no_cache,
+            capacity=args.cache_capacity or None,
+        ),
+        partition=pg.PartitionConfig(
+            num_parts=getattr(args, "partition", 1),
+            method=getattr(args, "partition_method", "dg"),
+            num_hops=model.num_sampled_hops,
+        ),
+        train=pg.TrainConfig(
+            lr=args.lr,
+            epochs=args.epochs,
+            log_every=args.log_every,
+            ckpt_dir=args.ckpt_dir,
+            ckpt_every=args.ckpt_every,
+        ),
+    )
+    return cfg
+
+
+def setup_platform(warm_bytes: int = 1 << 30) -> None:
+    from pagraph_tpu.utils.platform import (
+        enable_compilation_cache,
+        tune_host_allocator,
+    )
+
+    tune_host_allocator(warm_bytes)
+    enable_compilation_cache()

@@ -112,6 +112,11 @@ class Config:
             raise ValueError(f"unknown arch {m.arch!r}")
         if m.aggregator not in ("mean", "gcn", "pool", "lstm"):
             raise ValueError(f"unknown aggregator {m.aggregator!r}")
+        if m.arch == "gcn_cv" and not m.preprocess:
+            raise ValueError(
+                "gcn_cv consumes pre-aggregated layer-0 features: set "
+                "model.preprocess=True (reference: gcn_cvsc.py:69)"
+            )
         # The one cross-phase contract the reference leaves to the user:
         if s.num_hops != m.num_sampled_hops:
             raise ValueError(

@@ -1,0 +1,233 @@
+"""Data-parallel trainer: one graph partition + HBM cache shard per chip.
+
+The multi-chip analog of the reference's ``mp.spawn(trainer, nprocs=gpus)``
+topology (reference: examples/profile/pa_gcn.py:117-157): instead of one
+process per accelerator with NCCL, a single host process drives every chip
+through stacked, dp-sharded batch pytrees and one compiled shard_map step.
+
+Epoch-tail alignment: partitions can have different batch counts; shorter
+partitions wrap around and resample (the reference's "make-up" sends,
+parallel/dataloader.py:138-143) so every chip steps in lockstep.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..config import Config
+from ..data.formats import Dataset, PartitionArtifact
+from ..partition import dg_partition, hash_partition
+from ..sampling.sampler import NeighborSampler
+from ..storage.cache import FeatureCache
+from ..storage.feature_store import FeatureStore
+from ..train.loop import EpochMetrics
+from ..train.state import create_state
+from ..utils.timers import PhaseTimers
+from .mesh import dp_sharding, make_mesh, replicated
+from .train_step import make_dp_train_step
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *trees)
+
+
+class DataParallelTrainer:
+    def __init__(
+        self,
+        cfg: Config,
+        store: FeatureStore,
+        parts: Sequence[PartitionArtifact],
+        *,
+        mesh: Optional[Mesh] = None,
+        seed: int = 0,
+        log: bool = False,
+    ):
+        self.cfg = cfg
+        self.store = store
+        self.parts = list(parts)
+        self.mesh = mesh or make_mesh(len(self.parts))
+        n_dev = self.mesh.devices.size
+        if len(self.parts) != n_dev:
+            raise ValueError(
+                f"{len(self.parts)} partitions for {n_dev} mesh devices"
+            )
+        self.log = log
+
+        field_names = ["features"]
+        if cfg.model.arch == "graphsage" and cfg.model.preprocess:
+            field_names.append("neigh")
+
+        # Per-device samplers share layer capacities sized for the LARGEST
+        # partition so the stacked pytrees are uniform.
+        max_nodes = max(p.num_nodes for p in self.parts)
+        self.caps = cfg.sampler.layer_capacities(max_nodes)
+        self.samplers = [
+            NeighborSampler(
+                p.graph, p.train_nids, cfg.sampler, labels=p.labels,
+                seed=seed + 31 * r, caps=self.caps,
+            )
+            for r, p in enumerate(self.parts)
+        ]
+        self.caches = [
+            FeatureCache(store, field_names, p.graph, p.local2full)
+            for p in self.parts
+        ]
+        self.state, self._tx = create_state(cfg, seed=seed)
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.step_fn = make_dp_train_step(
+            cfg, self._tx, self.mesh, self.caches[0].field_offsets
+        )
+        self._dp = dp_sharding(self.mesh)
+        self._cache_stacked: Optional[jax.Array] = None
+        self.timers = PhaseTimers()
+        self.epoch_metrics: List[EpochMetrics] = []
+
+    # -- construction helpers ------------------------------------------------
+
+    @classmethod
+    def from_dataset(cls, cfg: Config, ds: Dataset, *, mesh: Optional[Mesh] = None,
+                     seed: int = 0, log: bool = False) -> "DataParallelTrainer":
+        mesh = mesh or make_mesh()
+        n = mesh.devices.size
+        store = FeatureStore.build(
+            ds.graph, ds.features,
+            preprocess=(cfg.model.arch if cfg.model.preprocess else None),
+        )
+        hops = cfg.partition.num_hops
+        if cfg.partition.method == "dg":
+            parts = dg_partition(ds.graph, ds.train_nids, ds.labels, n, hops)
+        else:
+            parts = hash_partition(ds.graph, ds.train_nids, ds.labels, n, hops,
+                                   seed=seed)
+        return cls(cfg, store, parts, mesh=mesh, seed=seed, log=log)
+
+    # -- cache ---------------------------------------------------------------
+
+    def fill_caches(self) -> None:
+        c = self.cfg.cache
+        if not c.enabled:
+            cap = 0
+        elif c.capacity is not None:
+            cap = c.capacity
+        else:
+            # uniform capacity: whatever HBM each chip can spare, bounded by
+            # the largest partition (cache arrays must stack uniformly)
+            cap = min(
+                cache.auto_capacity(c.hbm_reserve_bytes)
+                for cache in self.caches
+            )
+        cap = max(0, min(cap, max(p.num_nodes for p in self.parts)))
+        for cache in self.caches:
+            cache.fill(capacity=min(cap, cache.graph.num_nodes), rank_by=c.rank_by)
+            # pad shard to uniform [cap, dim] for stacking
+            if cache.cache_values.shape[0] < max(cap, 1):
+                pad = max(cap, 1) - cache.cache_values.shape[0]
+                cache.cache_values = jnp.pad(cache.cache_values, ((0, pad), (0, 0)))
+        stacked = np.stack([np.asarray(c.cache_values) for c in self.caches])
+        self._cache_stacked = jax.device_put(stacked, self._dp)
+        if self.log:
+            print(f"[cache] per-chip capacity={cap} vertices")
+
+    # -- epoch loop ----------------------------------------------------------
+
+    def _epoch_batches(self):
+        """Yields (layout, i32[D,..], u8[D,..], f32[D,..]) packed stacks."""
+        from ..sampling.pack import make_layout, pack
+
+        iters = [s.epoch() for s in self.samplers]
+        steps = max(s.num_batches for s in self.samplers)
+        fanout = self.cfg.sampler.fanout
+        total_dim = self.caches[0].total_dim
+        for _ in range(steps):
+            mbs, plans = [], []
+            for r, (it, cache) in enumerate(zip(iters, self.caches)):
+                try:
+                    mb = next(it)
+                except StopIteration:
+                    iters[r] = self.samplers[r].epoch()   # wrap: make-up batch
+                    mb = next(iters[r])
+                plan = cache.fetch_plan(
+                    np.asarray(mb.input_nids), np.asarray(mb.input_mask)
+                )
+                mbs.append(mb)
+                plans.append(plan)
+            # per-device miss buckets differ: pad to the largest so the
+            # stacked buffers are uniform (zero rows are never gathered)
+            max_bucket = max(p.miss_feats.shape[0] for p in plans)
+            layout = make_layout(self.caps, fanout, total_dim, max_bucket)
+            packed = []
+            for mb, plan in zip(mbs, plans):
+                if plan.miss_feats.shape[0] < max_bucket:
+                    plan = dataclasses.replace(
+                        plan,
+                        miss_feats=np.pad(
+                            plan.miss_feats,
+                            ((0, max_bucket - plan.miss_feats.shape[0]), (0, 0)),
+                        ),
+                    )
+                packed.append(pack(mb, plan, layout))
+            i32 = np.stack([p[0] for p in packed])
+            u8 = np.stack([p[1] for p in packed])
+            f32 = np.stack([p[2] for p in packed])
+            yield layout, i32, u8, f32
+
+    def run_epoch(self, epoch: int = 0) -> EpochMetrics:
+        if self._cache_stacked is None:
+            self.fill_caches()
+        for c in self.caches:
+            c.reset_stats()
+        t0 = time.perf_counter()
+        nb = 0
+        acc_buf = jax.device_put(np.zeros(3, dtype=np.float32),
+                                 replicated(self.mesh))
+        for layout, i32, u8, f32 in self._epoch_batches():
+            with self.timers.scope("h2d"):
+                i32 = jax.device_put(i32, self._dp)
+                u8 = jax.device_put(u8, self._dp)
+                f32 = jax.device_put(f32, self._dp)
+            with self.timers.scope("step"):
+                self.state, acc_buf = self.step_fn(
+                    layout, self.state, acc_buf, i32, u8, f32,
+                    self._cache_stacked,
+                )
+            nb += 1
+        vals = np.asarray(acc_buf)
+        tot_loss, tot_acc = float(vals[0]), float(vals[1])
+        miss = float(np.mean([c.miss_rate() for c in self.caches]))
+        em = EpochMetrics(
+            epoch=epoch,
+            mean_loss=tot_loss / max(nb, 1),
+            mean_acc=tot_acc / max(nb, 1),
+            time_s=time.perf_counter() - t0,
+            miss_rate=miss,
+            num_batches=nb,
+        )
+        self.epoch_metrics.append(em)
+        if self.log:
+            print(
+                f"epoch {epoch}: loss={em.mean_loss:.4f} acc={em.mean_acc:.3f} "
+                f"time={em.time_s:.2f}s miss={em.miss_rate:.1%}"
+            )
+        return em
+
+    def train(self, epochs: Optional[int] = None) -> Dict:
+        epochs = epochs or self.cfg.train.epochs
+        for e in range(epochs):
+            self.run_epoch(e)
+        w = self.cfg.train.warmup_epochs
+        steady = self.epoch_metrics[w:] or self.epoch_metrics
+        return {
+            "epochs": len(self.epoch_metrics),
+            "num_devices": int(self.mesh.devices.size),
+            "mean_epoch_time_s": float(np.mean([m.time_s for m in steady])),
+            "final_loss": self.epoch_metrics[-1].mean_loss,
+            "final_acc": self.epoch_metrics[-1].mean_acc,
+            "miss_rate": self.epoch_metrics[-1].miss_rate,
+            "phase_timers": self.timers.summary(),
+        }

@@ -1,0 +1,98 @@
+"""Multi-chip data-parallel train step: shard_map + psum over ICI.
+
+TPU-native replacement for the reference's DDP/NCCL gradient allreduce
+(reference: examples/profile/pa_gcn.py:21,65; SURVEY.md §2.3 N5).  Each mesh
+coordinate owns one graph partition: its minibatch, fetch plan and HBM cache
+shard arrive stacked on a leading device axis sharded over ``dp``; parameters
+and optimizer state are replicated; gradients are ``pmean``-ed inside the
+compiled step, so the collective is scheduled by XLA on ICI and overlaps with
+the backward pass exactly as DDP's bucketed allreduce does — without any of
+the process-group machinery.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import Config
+from ..models import get_model
+from ..sampling.block import MiniBatch
+from ..storage.cache import FetchPlan, assemble_features
+from ..train.objective import masked_accuracy, masked_cross_entropy
+from ..train.state import TrainState
+
+
+def make_dp_train_step(
+    cfg: Config,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    field_offsets: dict,
+    axis: str = "dp",
+) -> Callable:
+    """Build step(state, mb_stacked, plan_stacked, cache_stacked) -> (state, metrics).
+
+    ``mb_stacked``/``plan_stacked``/``cache_stacked`` carry a leading device
+    axis of size mesh.shape[axis], sharded over ``axis``; ``state`` is
+    replicated.
+    """
+    _, apply_fn = get_model(cfg.model)
+    sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
+    feat_slice = field_offsets["features"]
+    neigh_slice = field_offsets.get("neigh")
+
+    def per_device_step(layout, state: TrainState, metrics_acc: jax.Array,
+                        i32: jax.Array, u8: jax.Array, f32: jax.Array,
+                        cache_values: jax.Array):
+        from ..sampling.pack import unpack
+
+        # leading device axis is size 1 inside the shard: drop it
+        mb, plan = unpack(layout, i32[0], u8[0], f32[0])
+        cache_values = cache_values[0]
+        my_rank = jax.lax.axis_index(axis)
+        rng, sub = jax.random.split(state.rng)
+        sub = jax.random.fold_in(sub, my_rank)   # independent dropout per chip
+
+        fused = assemble_features(cache_values, plan)
+        feats = fused[:, feat_slice]
+
+        def loss_fn(params):
+            kwargs = dict(train=True, dropout_rng=sub)
+            if sage_pre:
+                kwargs["neigh_feats"] = fused[:, neigh_slice]
+            logits = apply_fn(params, cfg.model, mb, feats, **kwargs)
+            loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        # DDP-equivalent gradient sync: mean over the dp axis (ICI collective)
+        grads = jax.lax.pmean(grads, axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = masked_accuracy(logits, mb.labels, mb.seed_mask)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, rng=rng)
+        delta = jnp.stack([
+            jax.lax.pmean(loss, axis),
+            jax.lax.pmean(acc, axis),
+            jnp.ones((), loss.dtype),
+        ])
+        return new_state, metrics_acc + delta
+
+    def stepper(layout, state, metrics_acc, i32, u8, f32, cache_values):
+        fn = shard_map(
+            partial(per_device_step, layout),
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(state, metrics_acc, i32, u8, f32, cache_values)
+
+    return jax.jit(stepper, static_argnames=("layout",),
+                   donate_argnames=("metrics_acc",))

@@ -36,17 +36,27 @@ class PrefetchLoader:
         *,
         prefetch: int = 2,
         device: Optional[jax.Device] = None,
+        packed: bool = False,
     ):
         self.sampler = sampler
         self.cache = cache
         self.prefetch = max(1, prefetch)
         self.device = device
+        self.packed = packed
+        # throughput accounting (reference counts loaded vertices per epoch,
+        # examples/count_vnum.py:16-20; we also count sampled edges)
+        self.epoch_edges = 0
+        self.epoch_vertices = 0
 
     def _produce(self, q: queue.Queue, stop: threading.Event) -> None:
         try:
             for mb in self.sampler.epoch():
                 if stop.is_set():
                     break
+                self.epoch_edges += mb.num_sampled_edges()
+                self.epoch_vertices += int(
+                    sum(np.asarray(m).sum() for m in mb.layer_mask)
+                )
                 plan = self.cache.fetch_plan(
                     np.asarray(mb.input_nids), np.asarray(mb.input_mask)
                 )
@@ -56,14 +66,25 @@ class PrefetchLoader:
                     if self.device is not None
                     else jnp.asarray
                 )
-                mb_dev = jax.tree.map(put, mb)
-                plan_dev = jax.tree.map(put, plan)
-                q.put((mb_dev, plan_dev))
+                if self.packed:
+                    from .pack import make_layout, pack
+                    layout = make_layout(
+                        self.sampler.caps, self.sampler.config.fanout,
+                        self.cache.total_dim, plan.miss_feats.shape[0],
+                    )
+                    i32, u8, f32 = pack(mb, plan, layout)
+                    q.put((layout, put(i32), put(u8), put(f32)))
+                else:
+                    mb_dev = jax.tree.map(put, mb)
+                    plan_dev = jax.tree.map(put, plan)
+                    q.put((mb_dev, plan_dev))
             q.put(_END)
         except BaseException as e:  # surface errors to the consumer
             q.put(e)
 
     def epoch(self) -> Iterator[Tuple[MiniBatch, FetchPlan]]:
+        self.epoch_edges = 0
+        self.epoch_vertices = 0
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         t = threading.Thread(target=self._produce, args=(q, stop), daemon=True)

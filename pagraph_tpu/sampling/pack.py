@@ -1,0 +1,162 @@
+"""Packed batch transfer: fuse the minibatch + fetch-plan pytree into three
+flat host buffers (int32 / uint8 / float32).
+
+Motivation (measured on the axon-tunneled v5e): ``jax.device_put`` of the
+~20-leaf (MiniBatch, FetchPlan) pytree costs a per-leaf round trip —
+~290 ms/batch of host time against an 18 ms device step.  Packing on the
+host (cheap warm-heap memcpys) turns that into 3 transfers; the compiled
+step unpacks with static slices/reshapes that XLA folds into its reads.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..storage.cache import FetchPlan
+from .block import Block, MiniBatch
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchLayout:
+    """Static layout of the packed buffers (hashable: jit-static)."""
+
+    caps: Tuple[int, ...]       # per-layer capacities, outermost first
+    fanout: int
+    total_dim: int              # fused feature width
+    bucket: int                 # miss_feats rows (varies by power-of-2 bucket)
+
+    @property
+    def hops(self) -> int:
+        return len(self.caps) - 1
+
+    # ---- int32 buffer sections ----
+    def i32_sections(self):
+        caps = self.caps
+        dst = caps[1:]
+        return [
+            ("layer_nids", sum(caps)),
+            ("labels", caps[-1]),
+            ("self_pos", sum(dst)),
+            ("neigh_pos", sum(dst) * self.fanout),
+            ("cache_pos", caps[0]),
+            ("miss_slot", caps[0]),
+        ]
+
+    def u8_sections(self):
+        caps = self.caps
+        dst = caps[1:]
+        return [
+            ("layer_mask", sum(caps)),
+            ("neigh_mask", sum(dst) * self.fanout),
+            ("hit_mask", caps[0]),
+        ]
+
+    @property
+    def i32_size(self) -> int:
+        return sum(n for _, n in self.i32_sections())
+
+    @property
+    def u8_size(self) -> int:
+        return sum(n for _, n in self.u8_sections())
+
+
+def make_layout(caps: Sequence[int], fanout: int, total_dim: int,
+                bucket: int) -> BatchLayout:
+    return BatchLayout(tuple(int(c) for c in caps), int(fanout),
+                       int(total_dim), int(bucket))
+
+
+def pack(mb: MiniBatch, plan: FetchPlan, layout: BatchLayout
+         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side pack -> (i32_buf, u8_buf, f32_buf)."""
+    i32 = np.empty(layout.i32_size, dtype=np.int32)
+    u8 = np.empty(layout.u8_size, dtype=np.uint8)
+    at = 0
+
+    def put_i32(arr):
+        nonlocal at
+        flat = np.asarray(arr, dtype=np.int32).ravel()
+        i32[at:at + flat.size] = flat
+        at += flat.size
+
+    for a in mb.layer_nids:
+        put_i32(a)
+    put_i32(mb.labels)
+    for b in mb.blocks:
+        put_i32(b.self_pos)
+    for b in mb.blocks:
+        put_i32(b.neigh_pos)
+    put_i32(plan.cache_pos)
+    put_i32(plan.miss_slot)
+    assert at == layout.i32_size
+
+    at = 0
+
+    def put_u8(arr):
+        nonlocal at
+        flat = np.asarray(arr).astype(np.uint8).ravel()
+        u8[at:at + flat.size] = flat
+        at += flat.size
+
+    for m in mb.layer_mask:
+        put_u8(m)
+    for b in mb.blocks:
+        put_u8(b.neigh_mask)
+    put_u8(plan.hit_mask)
+    assert at == layout.u8_size
+
+    f32 = np.asarray(plan.miss_feats, dtype=np.float32)
+    assert f32.shape == (layout.bucket, layout.total_dim), (
+        f32.shape, layout.bucket, layout.total_dim)
+    return i32, u8, f32
+
+
+def unpack(layout: BatchLayout, i32: jax.Array, u8: jax.Array,
+           f32: jax.Array) -> Tuple[MiniBatch, FetchPlan]:
+    """Jit-side unpack (static slices; folds into downstream gathers)."""
+    caps, fanout = layout.caps, layout.fanout
+    hops = layout.hops
+    sec = {}
+    at = 0
+    for name, n in layout.i32_sections():
+        sec[name] = i32[at:at + n]
+        at += n
+    usec = {}
+    at = 0
+    for name, n in layout.u8_sections():
+        usec[name] = u8[at:at + n]
+        at += n
+
+    def split(arr, sizes):
+        out, a = [], 0
+        for s in sizes:
+            out.append(arr[a:a + s])
+            a += s
+        return out
+
+    layer_nids = tuple(split(sec["layer_nids"], caps))
+    layer_mask = tuple(m.astype(bool) for m in split(usec["layer_mask"], caps))
+    self_list = split(sec["self_pos"], caps[1:])
+    npos_list = split(sec["neigh_pos"], [c * fanout for c in caps[1:]])
+    nmask_list = split(usec["neigh_mask"], [c * fanout for c in caps[1:]])
+    blocks = tuple(
+        Block(
+            neigh_pos=npos_list[b].reshape(caps[b + 1], fanout),
+            neigh_mask=nmask_list[b].reshape(caps[b + 1], fanout).astype(bool),
+            self_pos=self_list[b],
+        )
+        for b in range(hops)
+    )
+    mb = MiniBatch(layer_nids=layer_nids, layer_mask=layer_mask,
+                   blocks=blocks, labels=sec["labels"])
+    plan = FetchPlan(
+        hit_mask=usec["hit_mask"].astype(bool),
+        cache_pos=sec["cache_pos"],
+        miss_slot=sec["miss_slot"],
+        miss_feats=f32,
+    )
+    return mb, plan

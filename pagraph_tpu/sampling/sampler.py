@@ -151,13 +151,14 @@ class NeighborSampler:
         shuffle: bool = True,
         seed: Optional[int] = None,
         backend: Optional[str] = None,
+        caps: Optional[Sequence[int]] = None,
     ):
         self.graph = graph
         self.train_nids = np.asarray(train_nids, dtype=np.int64)
         self.config = config
         self.labels = labels
         self.shuffle = shuffle
-        self.caps = config.layer_capacities(graph.num_nodes)
+        self.caps = tuple(caps) if caps is not None else config.layer_capacities(graph.num_nodes)
         self.rng = np.random.default_rng(config.seed if seed is None else seed)
         backend = backend or config.backend
         self._native = None

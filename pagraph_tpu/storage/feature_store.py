@@ -25,7 +25,7 @@ from ..graph import CSRGraph, gcn_norm
 class FeatureStore:
     """Named per-vertex arrays over the FULL graph id space."""
 
-    def __init__(self, fields: Dict[str, np.ndarray]):
+    def __init__(self, fields: Dict[str, np.ndarray], *, native: bool = True):
         n = None
         self.fields: Dict[str, np.ndarray] = {}
         for name, arr in fields.items():
@@ -37,6 +37,13 @@ class FeatureStore:
                 raise ValueError(f"field {name!r} has {arr.shape[0]} rows, expected {n}")
             self.fields[name] = arr
         self.num_nodes = n or 0
+        self._native_gather = None
+        if native:
+            try:
+                from ..sampling.native import gather_rows_f32
+                self._native_gather = gather_rows_f32
+            except Exception:
+                self._native_gather = None
 
     def dim(self, name: str) -> int:
         return self.fields[name].shape[1]
@@ -62,6 +69,20 @@ class FeatureStore:
         total = self.total_dim(names)
         if out is None:
             out = np.empty((len(nids), total), dtype=np.float32)
+        use_native = (
+            self._native_gather is not None
+            and len(names) == 1
+            and self.fields[names[0]].dtype == np.float32
+            and isinstance(self.fields[names[0]], np.ndarray)
+            and self.fields[names[0]].flags.c_contiguous
+            and out.flags.c_contiguous
+            and out.shape[1] == total
+        )
+        if use_native:
+            self._native_gather(
+                self.fields[names[0]], np.ascontiguousarray(nids, np.int64), out
+            )
+            return out
         at = 0
         for n in names:
             f = self.fields[n]

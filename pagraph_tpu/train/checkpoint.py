@@ -1,0 +1,81 @@
+"""Checkpoint save/restore + checkpoint-replay evaluation.
+
+The reference only *consumes* checkpoints (``eval.py`` loads
+``checkpoint/{arch}_{epoch}`` files that nothing in its tree writes —
+SURVEY.md §5); here both directions exist: orbax-backed save of the full
+train state (params, optimizer state, step, rng) every N epochs, resume, and
+an eval-over-checkpoints pass replicating ``examples/eval.py:28-46``.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..config import Config
+from .state import TrainState
+
+
+def _ckpt_path(ckpt_dir: str, arch: str, epoch: int) -> str:
+    return os.path.abspath(os.path.join(ckpt_dir, f"{arch}_{epoch}"))
+
+
+def save_checkpoint(ckpt_dir: str, arch: str, epoch: int,
+                    state: TrainState) -> str:
+    """Write ``<ckpt_dir>/<arch>_<epoch>`` (reference naming,
+    eval.py:30-32)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = _ckpt_path(ckpt_dir, arch, epoch)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(ckpt_dir: str, arch: str, epoch: int,
+                       template: TrainState) -> TrainState:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(_ckpt_path(ckpt_dir, arch, epoch),
+                         jax.device_get(template))
+
+
+def list_checkpoints(ckpt_dir: str, arch: str) -> List[int]:
+    if not os.path.isdir(ckpt_dir):
+        return []
+    pat = re.compile(rf"^{re.escape(arch)}_(\d+)$")
+    out = []
+    for name in os.listdir(ckpt_dir):
+        m = pat.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def evaluate_checkpoints(
+    cfg: Config,
+    ckpt_dir: str,
+    graph,
+    features: np.ndarray,
+    labels: np.ndarray,
+    mask: np.ndarray,
+    *,
+    interval: int = 1,
+    template: Optional[TrainState] = None,
+) -> Dict[int, float]:
+    """Replay saved checkpoints on the test set and report accuracy per
+    epoch (reference eval.py main loop, :28-46)."""
+    from ..models.inference import evaluate
+    from .state import create_state
+
+    if template is None:
+        template, _ = create_state(cfg)
+    results: Dict[int, float] = {}
+    for epoch in list_checkpoints(ckpt_dir, cfg.model.arch)[::interval]:
+        state = restore_checkpoint(ckpt_dir, cfg.model.arch, epoch, template)
+        acc = evaluate(state.params, cfg.model, graph, features, labels, mask)
+        results[epoch] = acc
+    return results

@@ -34,6 +34,8 @@ class EpochMetrics:
     time_s: float
     miss_rate: float
     num_batches: int
+    edges: int = 0          # valid sampled edges aggregated this epoch
+    vertices: int = 0       # valid vertices loaded this epoch
 
 
 class Trainer:
@@ -72,19 +74,32 @@ class Trainer:
         self.state, self._tx = create_state(cfg, seed=seed)
         if device is not None:
             self.state = jax.device_put(self.state, device)
-        self.step_fn = make_cached_train_step(
-            cfg, self._tx, self.cache.field_offsets
-        )
+        self._is_cv = cfg.model.arch == "gcn_cv"
+        if self._is_cv:
+            from ..models.gcn_cv import CVHistory
+            from .state import make_cv_train_step
+            self.cv_history = CVHistory(cfg.model, local_graph,
+                                        local_graph.num_nodes)
+            self.step_fn = make_cv_train_step(
+                cfg, self._tx, self.cache.field_offsets
+            )
+        else:
+            from .state import make_packed_train_step
+            self.loader.packed = True
+            self.step_fn = make_packed_train_step(
+                cfg, self._tx, self.cache.field_offsets
+            )
         self.timers = PhaseTimers()
         self._cache_filled = False
         self.epoch_metrics: List[EpochMetrics] = []
 
     @classmethod
     def from_dataset(cls, cfg: Config, ds: Dataset, **kw) -> "Trainer":
-        store = FeatureStore.build(
-            ds.graph, ds.features,
-            preprocess=(cfg.model.arch if cfg.model.preprocess else None),
-        )
+        pre = None
+        if cfg.model.preprocess:
+            # gcn_cv consumes the same mean-preaggregated layer-0 as gcn
+            pre = "gcn" if cfg.model.arch in ("gcn", "gcn_cv") else cfg.model.arch
+        store = FeatureStore.build(ds.graph, ds.features, preprocess=pre)
         return cls(cfg, store, ds.graph, ds.train_nids, ds.labels, **kw)
 
     @classmethod
@@ -117,16 +132,40 @@ class Trainer:
         if first_step:
             # warm-up step on the first batch with an empty cache, then fill
             self._maybe_fill_cache()
-        for mb, plan in self.loader.epoch():
-            with self.timers.scope("step"):
-                self.state, metrics = self.step_fn(
-                    self.state, mb, plan, self.cache.cache_values
-                )
-            tot_loss += float(metrics["loss"])
-            tot_acc += float(metrics["acc"])
-            nb += 1
-            if self.log and nb % self.cfg.train.log_every == 0:
-                print(f"  step {nb}: loss={float(metrics['loss']):.4f}")
+        if self._is_cv:
+            for mb, plan in self.loader.epoch():
+                h_hist, agg_hist = self.cv_history.gather(mb)
+                with self.timers.scope("step"):
+                    self.state, metrics, new_hists = self.step_fn(
+                        self.state, mb, plan, self.cache.cache_values,
+                        h_hist, agg_hist,
+                    )
+                self.cv_history.scatter(mb, new_hists)
+                tot_loss += float(metrics["loss"])
+                tot_acc += float(metrics["acc"])
+                nb += 1
+                if self.log and nb % self.cfg.train.log_every == 0:
+                    print(f"  step {nb}: loss={float(metrics['loss']):.4f}")
+        else:
+            # packed path: no host sync inside the epoch; metrics accumulate
+            # on device and are fetched once at the end
+            import jax.numpy as jnp
+            acc_buf = jnp.zeros(3, dtype=jnp.float32)
+            if self.device is not None:
+                acc_buf = jax.device_put(acc_buf, self.device)
+            for layout, i32, u8, f32 in self.loader.epoch():
+                with self.timers.scope("step"):
+                    self.state, acc_buf = self.step_fn(
+                        layout, self.state, acc_buf, i32, u8, f32,
+                        self.cache.cache_values,
+                    )
+                nb += 1
+            if nb:
+                vals = np.asarray(acc_buf)
+                tot_loss, tot_acc = float(vals[0]), float(vals[1])
+        if self._is_cv:
+            with self.timers.scope("cv-refresh"):
+                self.cv_history.refresh_agg()
         em = EpochMetrics(
             epoch=epoch,
             mean_loss=tot_loss / max(nb, 1),
@@ -134,6 +173,8 @@ class Trainer:
             time_s=time.perf_counter() - t_epoch,
             miss_rate=self.cache.miss_rate(),
             num_batches=nb,
+            edges=self.loader.epoch_edges,
+            vertices=self.loader.epoch_vertices,
         )
         self.epoch_metrics.append(em)
         if self.log:
@@ -145,8 +186,12 @@ class Trainer:
 
     def train(self, epochs: Optional[int] = None) -> Dict:
         epochs = epochs or self.cfg.train.epochs
+        tc = self.cfg.train
         for e in range(epochs):
             self.run_epoch(e)
+            if tc.ckpt_dir and tc.ckpt_every and (e + 1) % tc.ckpt_every == 0:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(tc.ckpt_dir, self.cfg.model.arch, e, self.state)
         return self.summary()
 
     def summary(self) -> Dict:

@@ -71,6 +71,89 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation) -> Callable:
     return train_step
 
 
+def make_packed_train_step(cfg: Config, tx: optax.GradientTransformation,
+                           field_offsets: dict) -> Callable:
+    """Packed-transfer step: consumes the 3 flat buffers from
+    ``sampling.pack`` plus a device-side metrics accumulator, so the host
+    never syncs inside an epoch (metrics are fetched once at epoch end).
+
+    Signature: step(layout, state, metrics_acc, i32, u8, f32, cache_values)
+      -> (state, metrics_acc + [loss, acc, 1])
+    ``layout`` is static (one executable per miss-bucket size).
+    """
+    from ..sampling.pack import unpack
+
+    _, apply_fn = get_model(cfg.model)
+    sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
+    feat_slice = field_offsets["features"]
+    neigh_slice = field_offsets.get("neigh")
+
+    @partial(jax.jit, static_argnames=("layout",), donate_argnames=("metrics_acc",))
+    def train_step(layout, state: TrainState, metrics_acc: jax.Array,
+                   i32: jax.Array, u8: jax.Array, f32: jax.Array,
+                   cache_values: jax.Array):
+        mb, plan = unpack(layout, i32, u8, f32)
+        rng, sub = jax.random.split(state.rng)
+        fused = assemble_features(cache_values, plan)
+        feats = fused[:, feat_slice]
+
+        def loss_fn(params):
+            kwargs = dict(train=True, dropout_rng=sub)
+            if sage_pre:
+                kwargs["neigh_feats"] = fused[:, neigh_slice]
+            logits = apply_fn(params, cfg.model, mb, feats, **kwargs)
+            loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = masked_accuracy(logits, mb.labels, mb.seed_mask)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, rng=rng)
+        return new_state, metrics_acc + jnp.stack(
+            [loss, acc, jnp.ones((), loss.dtype)]
+        )
+
+    return train_step
+
+
+def make_cv_train_step(cfg: Config, tx: optax.GradientTransformation,
+                       field_offsets: dict) -> Callable:
+    """Control-variate GCN step: consumes per-layer history slices, returns
+    fresh histories for scatter-back (see models/gcn_cv.py)."""
+    from ..models import gcn_cv
+
+    feat_slice = field_offsets["features"]
+
+    @jax.jit
+    def train_step(state: TrainState, mb: MiniBatch, plan: FetchPlan,
+                   cache_values: jax.Array, h_hist, agg_hist):
+        rng, sub = jax.random.split(state.rng)
+        fused = assemble_features(cache_values, plan)
+        feats = fused[:, feat_slice]
+
+        def loss_fn(params):
+            logits, new_hists = gcn_cv.apply(
+                params, cfg.model, mb, feats, train=True, dropout_rng=sub,
+                h_hist=h_hist, agg_hist=agg_hist,
+            )
+            loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
+            return loss, (logits, new_hists)
+
+        (loss, (logits, new_hists)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = masked_accuracy(logits, mb.labels, mb.seed_mask)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, rng=rng)
+        return new_state, {"loss": loss, "acc": acc}, new_hists
+
+    return train_step
+
+
 def make_cached_train_step(cfg: Config, tx: optax.GradientTransformation,
                            field_offsets: dict) -> Callable:
     """Train step consuming a cache :class:`FetchPlan` instead of raw

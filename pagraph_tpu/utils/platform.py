@@ -6,12 +6,61 @@ reference: PaGraph/storage/storage.py:78-80).
 """
 from __future__ import annotations
 
+import ctypes
 import os
 from typing import Optional
 
 import jax
 
 _DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/pagraph_tpu_jax")
+
+_M_TRIM_THRESHOLD = -1
+_M_MMAP_THRESHOLD = -3
+
+_allocator_tuned = False
+
+
+def tune_host_allocator(warm_bytes: int = 0, threads: int = 4) -> None:
+    """Work around pathologically slow first-touch page faults.
+
+    On some virtualized hosts (including this TPU-attached VM class), faulting
+    fresh anonymous pages runs at ~15 MB/s while warm memory moves at GB/s.
+    glibc's default behavior mmaps every allocation >128 KiB and returns it to
+    the OS on free, so *every* large numpy temporary re-faults its pages —
+    numpy hot loops become 100-1000x slower than normal.
+
+    Fix: serve large allocations from the (never-trimmed) heap arena so freed
+    pages stay warm, and pre-fault the arena once with parallel first-touch
+    (page faults scale across threads).  Measured effect on this host: 16.7M
+    element numpy ops drop from ~10-20 s to ~25 ms.
+    """
+    global _allocator_tuned
+    if _allocator_tuned:
+        return
+    _allocator_tuned = True
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(_M_MMAP_THRESHOLD, ctypes.c_int(1 << 30))
+        libc.mallopt(_M_TRIM_THRESHOLD, ctypes.c_int(-1))
+    except Exception:
+        return
+    if warm_bytes <= 0:
+        return
+    import concurrent.futures as cf
+
+    import numpy as np
+
+    buf = np.empty(warm_bytes // 8, dtype=np.float64)
+    n = len(buf)
+    chunk = (n + threads - 1) // threads
+    with cf.ThreadPoolExecutor(threads) as ex:
+        list(
+            ex.map(
+                lambda i: buf[i * chunk : (i + 1) * chunk].fill(0),
+                range(threads),
+            )
+        )
+    del buf  # pages stay in the heap arena, warm
 
 
 def enable_compilation_cache(path: str = _DEFAULT_CACHE_DIR) -> None:

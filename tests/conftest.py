@@ -23,6 +23,9 @@ import numpy as np
 import pytest
 
 from pagraph_tpu.data.synthetic import synthetic_dataset
+from pagraph_tpu.utils.platform import tune_host_allocator
+
+tune_host_allocator(256 << 20)  # slow-page-fault host: keep heap warm
 
 
 @pytest.fixture(scope="session")

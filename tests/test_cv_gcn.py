@@ -1,0 +1,92 @@
+"""Control-variate GCN: zero-history equivalence + training."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import pagraph_tpu as pg
+from pagraph_tpu.data.synthetic import synthetic_dataset
+from pagraph_tpu.models import gcn_cv
+from pagraph_tpu.train.loop import Trainer
+
+
+@pytest.fixture(scope="module")
+def learn_ds():
+    return synthetic_dataset(num_nodes=500, num_edges=4000, feat_dim=16,
+                             num_classes=5, seed=21, learnable=True)
+
+
+def _cfg(nl=1):
+    m = pg.ModelConfig(arch="gcn_cv", n_layers=nl, hidden=12, feat_dim=16,
+                       n_classes=5, preprocess=True, dropout=0.0)
+    return pg.Config(
+        model=m,
+        sampler=pg.SamplerConfig(batch_size=64, fanout=2,
+                                 num_hops=m.num_sampled_hops),
+        train=pg.TrainConfig(lr=1e-2),
+    )
+
+
+def test_requires_preprocess():
+    with pytest.raises(ValueError, match="preprocess"):
+        pg.Config(model=pg.ModelConfig(arch="gcn_cv", preprocess=False),
+                  sampler=pg.SamplerConfig(num_hops=1))
+
+
+@pytest.mark.parametrize("nl", [1, 2])
+def test_zero_history_matches_plain_mean_agg(learn_ds, nl):
+    """With zero history and zero agg-history, cv-GCN == plain preprocess-GCN
+    with mean aggregation of raw activations (the control variate vanishes)."""
+    cfg = _cfg(nl)
+    init_fn, _ = pg.models.get_model(cfg.model)
+    params = init_fn(jax.random.PRNGKey(0), cfg.model)
+
+    from pagraph_tpu.sampling.sampler import NeighborSampler
+    s = NeighborSampler(learn_ds.graph, learn_ds.train_nids, cfg.sampler,
+                        labels=learn_ds.labels, backend="numpy")
+    mb = s.sample(learn_ds.train_nids[:64])
+    mb = jax.tree.map(jnp.asarray, mb)
+    feats = jnp.asarray(learn_ds.features[np.asarray(mb.layer_nids[0])])
+
+    widths = gcn_cv.layer_widths(cfg.model)
+    h_hist = [jnp.zeros((mb.layer_nids[b].shape[0], widths[b]))
+              for b in range(nl)]
+    agg_hist = [jnp.zeros((mb.layer_nids[b + 1].shape[0], widths[b]))
+                for b in range(nl)]
+    logits, new_hists = gcn_cv.apply(
+        params, cfg.model, mb, feats, train=False,
+        h_hist=h_hist, agg_hist=agg_hist,
+    )
+    # manual plain forward with the same params (mean agg of activations)
+    from pagraph_tpu.models.common import linear, concat_skip
+    from pagraph_tpu.ops.aggregate import block_aggregate
+    h = linear(params["dense"], feats)
+    h = concat_skip(h, jax.nn.relu) if nl == 1 else jax.nn.relu(h)
+    for b, p in enumerate(params["updates"]):
+        h = block_aggregate(h, mb.blocks[b], "mean")
+        h = linear(p, h)
+        if b + 1 == nl - 1:
+            h = concat_skip(h, jax.nn.relu)
+        elif b + 1 < nl:
+            h = jax.nn.relu(h)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(h),
+                               rtol=1e-5, atol=1e-5)
+    assert len(new_hists) == nl
+    assert new_hists[0].shape == (mb.layer_nids[0].shape[0], widths[0])
+
+
+def test_cv_training_reduces_loss(learn_ds):
+    cfg = _cfg(nl=1)
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(4)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_cv_history_scatter_roundtrip(learn_ds):
+    cfg = _cfg(nl=2)
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(1)
+    # histories must have been written for trained vertices
+    assert np.abs(tr.cv_history.hist[0]).sum() > 0
+    assert np.abs(tr.cv_history.agg[0]).sum() > 0

@@ -1,0 +1,98 @@
+"""Multi-device data parallelism on the 8-virtual-device CPU mesh."""
+import numpy as np
+import jax
+import pytest
+
+import pagraph_tpu as pg
+from pagraph_tpu.data.synthetic import synthetic_dataset
+from pagraph_tpu.parallel import DataParallelTrainer, make_mesh
+
+
+@pytest.fixture(scope="module")
+def learn_ds():
+    return synthetic_dataset(
+        num_nodes=1200, num_edges=10000, feat_dim=32, num_classes=6,
+        seed=9, learnable=True,
+    )
+
+
+def _cfg(**kw):
+    m = pg.ModelConfig(arch=kw.pop("arch", "gcn"), n_layers=1, hidden=16,
+                       feat_dim=32, n_classes=6)
+    cfg = pg.Config(
+        model=m,
+        sampler=pg.SamplerConfig(batch_size=64, fanout=2,
+                                 num_hops=m.num_sampled_hops, seed=2),
+        partition=pg.PartitionConfig(num_parts=4, method=kw.pop("method", "dg"),
+                                     num_hops=m.num_sampled_hops),
+        train=pg.TrainConfig(lr=1e-2, warmup_epochs=1),
+    )
+    for k, v in kw.items():
+        setattr(cfg.cache, k, v)
+    return cfg
+
+
+def test_mesh_creation():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(4)
+    assert mesh.devices.size == 4
+
+
+@pytest.mark.parametrize("method", ["dg", "hash"])
+def test_dp_training_reduces_loss(learn_ds, method):
+    mesh = make_mesh(4)
+    cfg = _cfg(method=method)
+    tr = DataParallelTrainer.from_dataset(cfg, learn_ds, mesh=mesh, seed=0)
+    tr.train(4)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_dp_with_partial_cache(learn_ds):
+    mesh = make_mesh(4)
+    cfg = _cfg(capacity=40)
+    tr = DataParallelTrainer.from_dataset(cfg, learn_ds, mesh=mesh, seed=0)
+    tr.train(2)
+    assert 0.0 < tr.epoch_metrics[-1].miss_rate < 1.0
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0]
+
+
+def test_dp_matches_single_device_loss_scale(learn_ds):
+    """DP mean loss should land in the same ballpark as single-device
+    training on the same number of total samples (sanity, not exactness:
+    partitions/sampling differ)."""
+    from pagraph_tpu.train.loop import Trainer
+
+    cfg1 = _cfg()
+    single = Trainer.from_dataset(cfg1, learn_ds, seed=0)
+    single.train(3)
+    mesh = make_mesh(4)
+    cfg2 = _cfg()
+    dp = DataParallelTrainer.from_dataset(cfg2, learn_ds, mesh=mesh, seed=0)
+    dp.train(3)
+    s_loss = single.epoch_metrics[-1].mean_loss
+    d_loss = dp.epoch_metrics[-1].mean_loss
+    assert d_loss < s_loss * 2.5 + 0.5, (s_loss, d_loss)
+
+
+def test_dp_state_replicated_params_identical(learn_ds):
+    """After a step, every device must hold identical parameters."""
+    mesh = make_mesh(2)
+    cfg = _cfg()
+    cfg.partition.num_parts = 2
+    tr = DataParallelTrainer.from_dataset(cfg, learn_ds, mesh=mesh, seed=0)
+    tr.train(1)
+    w = tr.state.params["updates"][0]["w"]
+    shards = [np.asarray(s.data) for s in w.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_dp_graphsage(learn_ds):
+    mesh = make_mesh(4)
+    cfg = _cfg(arch="graphsage")
+    tr = DataParallelTrainer.from_dataset(cfg, learn_ds, mesh=mesh, seed=0)
+    tr.train(2)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0]
