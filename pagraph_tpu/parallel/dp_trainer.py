@@ -47,6 +47,7 @@ class DataParallelTrainer:
         mesh: Optional[Mesh] = None,
         seed: int = 0,
         log: bool = False,
+        feature_source: str = "cache",   # cache | ici
     ):
         self.cfg = cfg
         self.store = store
@@ -58,6 +59,7 @@ class DataParallelTrainer:
                 f"{len(self.parts)} partitions for {n_dev} mesh devices"
             )
         self.log = log
+        self.feature_source = feature_source
 
         field_names = ["features"]
         if cfg.model.arch == "graphsage" and cfg.model.preprocess:
@@ -80,32 +82,59 @@ class DataParallelTrainer:
         ]
         self.state, self._tx = create_state(cfg, seed=seed)
         self.state = jax.device_put(self.state, replicated(self.mesh))
-        self.step_fn = make_dp_train_step(
-            cfg, self._tx, self.mesh, self.caches[0].field_offsets
-        )
         self._dp = dp_sharding(self.mesh)
         self._cache_stacked: Optional[jax.Array] = None
+        offsets = self.caches[0].field_offsets
+        if feature_source == "ici":
+            from .train_step import make_dp_halo_train_step
+            self.step_fn = make_dp_halo_train_step(
+                cfg, self._tx, self.mesh,
+                offsets["features"], offsets.get("neigh"),
+            )
+            self._init_ici_features(field_names)
+        else:
+            self.step_fn = make_dp_train_step(cfg, self._tx, self.mesh, offsets)
         self.timers = PhaseTimers()
         self.epoch_metrics: List[EpochMetrics] = []
+
+    def _init_ici_features(self, field_names) -> None:
+        """Shard the full fused feature matrix across the mesh's HBM and
+        build per-chip halo planners (parallel/halo.py)."""
+        from .halo import HaloPlanner, halo_width_for, shard_features
+
+        n = self.store.num_nodes
+        fused = self.store.gather(field_names, np.arange(n, dtype=np.int64))
+        stack, shard_rows = shard_features(fused, self.mesh.devices.size)
+        self._feat_shards = jax.device_put(stack, self._dp)
+        cap0 = self.caps[0]
+        self._halo_width = halo_width_for(cap0, self.mesh.devices.size)
+        self._planner = HaloPlanner(self.mesh.devices.size, shard_rows,
+                                    self._halo_width)
+        self._halo_drops = 0
+        if self.log:
+            print(f"[ici] {n} x {fused.shape[1]} features sharded "
+                  f"{stack.shape}, halo width {self._halo_width}")
 
     # -- construction helpers ------------------------------------------------
 
     @classmethod
     def from_dataset(cls, cfg: Config, ds: Dataset, *, mesh: Optional[Mesh] = None,
-                     seed: int = 0, log: bool = False) -> "DataParallelTrainer":
+                     seed: int = 0, log: bool = False,
+                     feature_source: str = "cache") -> "DataParallelTrainer":
         mesh = mesh or make_mesh()
         n = mesh.devices.size
-        store = FeatureStore.build(
-            ds.graph, ds.features,
-            preprocess=(cfg.model.arch if cfg.model.preprocess else None),
-        )
+        pre = None
+        if cfg.model.preprocess:
+            pre = "gcn" if cfg.model.arch in ("gcn", "gcn_cv") else cfg.model.arch
+        store = FeatureStore.build(ds.graph, ds.features, preprocess=pre)
         hops = cfg.partition.num_hops
         if cfg.partition.method == "dg":
             parts = dg_partition(ds.graph, ds.train_nids, ds.labels, n, hops)
         else:
             parts = hash_partition(ds.graph, ds.train_nids, ds.labels, n, hops,
                                    seed=seed)
-        return cls(cfg, store, parts, mesh=mesh, seed=seed, log=log)
+        return cls(cfg, store, parts, mesh=mesh, seed=seed, log=log,
+                   feature_source=feature_source)
 
     # -- cache ---------------------------------------------------------------
 
@@ -136,27 +165,58 @@ class DataParallelTrainer:
 
     # -- epoch loop ----------------------------------------------------------
 
+    def _next_round(self, iters):
+        mbs = []
+        for r, it in enumerate(iters):
+            try:
+                mb = next(it)
+            except StopIteration:
+                iters[r] = self.samplers[r].epoch()       # wrap: make-up batch
+                mb = next(iters[r])
+            mbs.append(mb)
+        return mbs
+
     def _epoch_batches(self):
-        """Yields (layout, i32[D,..], u8[D,..], f32[D,..]) packed stacks."""
+        """Yields (layout, i32[D,..], u8[D,..], f32[D,..]) packed stacks
+        (cache mode) or (layout, i32, u8, HaloPlan-stack) (ici mode)."""
         from ..sampling.pack import make_layout, pack
 
         iters = [s.epoch() for s in self.samplers]
         steps = max(s.num_batches for s in self.samplers)
         fanout = self.cfg.sampler.fanout
         total_dim = self.caches[0].total_dim
+        ici = self.feature_source == "ici"
         for _ in range(steps):
-            mbs, plans = [], []
-            for r, (it, cache) in enumerate(zip(iters, self.caches)):
-                try:
-                    mb = next(it)
-                except StopIteration:
-                    iters[r] = self.samplers[r].epoch()   # wrap: make-up batch
-                    mb = next(iters[r])
-                plan = cache.fetch_plan(
-                    np.asarray(mb.input_nids), np.asarray(mb.input_mask)
+            mbs = self._next_round(iters)
+            if ici:
+                from ..storage.cache import FetchPlan
+                layout = make_layout(self.caps, fanout, 0, 0)
+                halos, packed = [], []
+                empty = FetchPlan(
+                    hit_mask=np.zeros(self.caps[0], dtype=bool),
+                    cache_pos=np.zeros(self.caps[0], dtype=np.int32),
+                    miss_slot=np.zeros(self.caps[0], dtype=np.int32),
+                    miss_feats=np.zeros((0, 0), dtype=np.float32),
                 )
-                mbs.append(mb)
-                plans.append(plan)
+                for r, mb in enumerate(mbs):
+                    full = self.parts[r].local2full[np.asarray(mb.input_nids)]
+                    h = self._planner.plan(full, np.asarray(mb.input_mask))
+                    self._halo_drops += int(
+                        np.asarray(mb.input_mask).sum()
+                        - np.asarray(h.valid).sum()
+                    )
+                    halos.append(h)
+                    packed.append(pack(mb, empty, layout))
+                i32 = np.stack([p[0] for p in packed])
+                u8 = np.stack([p[1] for p in packed])
+                halo = _stack(halos)
+                yield layout, i32, u8, halo
+                continue
+            plans = []
+            for r, (mb, cache) in enumerate(zip(mbs, self.caches)):
+                plans.append(cache.fetch_plan(
+                    np.asarray(mb.input_nids), np.asarray(mb.input_mask)
+                ))
             # per-device miss buckets differ: pad to the largest so the
             # stacked buffers are uniform (zero rows are never gathered)
             max_bucket = max(p.miss_feats.shape[0] for p in plans)
@@ -178,7 +238,8 @@ class DataParallelTrainer:
             yield layout, i32, u8, f32
 
     def run_epoch(self, epoch: int = 0) -> EpochMetrics:
-        if self._cache_stacked is None:
+        ici = self.feature_source == "ici"
+        if not ici and self._cache_stacked is None:
             self.fill_caches()
         for c in self.caches:
             c.reset_stats()
@@ -186,20 +247,21 @@ class DataParallelTrainer:
         nb = 0
         acc_buf = jax.device_put(np.zeros(3, dtype=np.float32),
                                  replicated(self.mesh))
-        for layout, i32, u8, f32 in self._epoch_batches():
+        for layout, i32, u8, extra in self._epoch_batches():
             with self.timers.scope("h2d"):
                 i32 = jax.device_put(i32, self._dp)
                 u8 = jax.device_put(u8, self._dp)
-                f32 = jax.device_put(f32, self._dp)
+                extra = jax.device_put(extra, self._dp)
             with self.timers.scope("step"):
                 self.state, acc_buf = self.step_fn(
-                    layout, self.state, acc_buf, i32, u8, f32,
-                    self._cache_stacked,
+                    layout, self.state, acc_buf, i32, u8, extra,
+                    self._feat_shards if ici else self._cache_stacked,
                 )
             nb += 1
         vals = np.asarray(acc_buf)
         tot_loss, tot_acc = float(vals[0]), float(vals[1])
-        miss = float(np.mean([c.miss_rate() for c in self.caches]))
+        miss = (0.0 if ici
+                else float(np.mean([c.miss_rate() for c in self.caches])))
         em = EpochMetrics(
             epoch=epoch,
             mean_loss=tot_loss / max(nb, 1),

@@ -96,3 +96,72 @@ def make_dp_train_step(
 
     return jax.jit(stepper, static_argnames=("layout",),
                    donate_argnames=("metrics_acc",))
+
+
+def make_dp_halo_train_step(
+    cfg: Config,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    feat_slice: slice,
+    neigh_slice: Optional[slice] = None,
+    axis: str = "dp",
+) -> Callable:
+    """DP step with ICI-distributed features: instead of the HBM cache +
+    host-miss FetchPlan, batch features arrive via a chip-to-chip
+    ``all_to_all`` exchange from the sharded feature matrix
+    (see parallel/halo.py).  Signature:
+
+        step(layout, state, metrics_acc, i32, u8, halo_plan, feat_shards)
+    """
+    from ..parallel.halo import HaloPlan, exchange_features
+    from ..sampling.pack import unpack
+
+    _, apply_fn = get_model(cfg.model)
+    sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
+
+    def per_device_step(layout, state: TrainState, metrics_acc, i32, u8,
+                        plan: HaloPlan, feat_shard):
+        zero_f32 = jnp.zeros((0, 0), dtype=jnp.float32)
+        mb, _ = unpack(layout, i32[0], u8[0], zero_f32)
+        plan = jax.tree.map(lambda x: x[0], plan)
+        my_rank = jax.lax.axis_index(axis)
+        rng, sub = jax.random.split(state.rng)
+        sub = jax.random.fold_in(sub, my_rank)
+
+        fused = exchange_features(feat_shard[0], plan, axis)
+        feats = fused[:, feat_slice]
+
+        def loss_fn(params):
+            kwargs = dict(train=True, dropout_rng=sub)
+            if sage_pre:
+                kwargs["neigh_feats"] = fused[:, neigh_slice]
+            logits = apply_fn(params, cfg.model, mb, feats, **kwargs)
+            loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = masked_accuracy(logits, mb.labels, mb.seed_mask)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, rng=rng)
+        delta = jnp.stack([
+            jax.lax.pmean(loss, axis),
+            jax.lax.pmean(acc, axis),
+            jnp.ones((), loss.dtype),
+        ])
+        return new_state, metrics_acc + delta
+
+    def stepper(layout, state, metrics_acc, i32, u8, plan, feat_shards):
+        fn = shard_map(
+            partial(per_device_step, layout),
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(state, metrics_acc, i32, u8, plan, feat_shards)
+
+    return jax.jit(stepper, static_argnames=("layout",),
+                   donate_argnames=("metrics_acc",))

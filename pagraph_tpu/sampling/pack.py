@@ -115,6 +115,45 @@ def pack(mb: MiniBatch, plan: FetchPlan, layout: BatchLayout
     return i32, u8, f32
 
 
+def unpack_numpy(layout: BatchLayout, i32: np.ndarray, u8: np.ndarray
+                 ) -> MiniBatch:
+    """Host-side unpack into zero-copy numpy views (no FetchPlan part;
+    used by the sampling service to decode shared-memory slots)."""
+    caps, fanout = layout.caps, layout.fanout
+    hops = layout.hops
+    sec, at = {}, 0
+    for name, n in layout.i32_sections():
+        sec[name] = i32[at:at + n]
+        at += n
+    usec, at = {}, 0
+    for name, n in layout.u8_sections():
+        usec[name] = u8[at:at + n]
+        at += n
+
+    def split(arr, sizes):
+        out, a = [], 0
+        for s in sizes:
+            out.append(arr[a:a + s])
+            a += s
+        return out
+
+    layer_nids = tuple(split(sec["layer_nids"], caps))
+    layer_mask = tuple(m.view(bool) for m in split(usec["layer_mask"], caps))
+    self_list = split(sec["self_pos"], caps[1:])
+    npos_list = split(sec["neigh_pos"], [c * fanout for c in caps[1:]])
+    nmask_list = split(usec["neigh_mask"], [c * fanout for c in caps[1:]])
+    blocks = tuple(
+        Block(
+            neigh_pos=npos_list[b].reshape(caps[b + 1], fanout),
+            neigh_mask=nmask_list[b].reshape(caps[b + 1], fanout).view(bool),
+            self_pos=self_list[b],
+        )
+        for b in range(hops)
+    )
+    return MiniBatch(layer_nids=layer_nids, layer_mask=layer_mask,
+                     blocks=blocks, labels=sec["labels"])
+
+
 def unpack(layout: BatchLayout, i32: jax.Array, u8: jax.Array,
            f32: jax.Array) -> Tuple[MiniBatch, FetchPlan]:
     """Jit-side unpack (static slices; folds into downstream gathers)."""

@@ -64,9 +64,18 @@ class Trainer:
         self.cache = FeatureCache(
             store, field_names, local_graph, local2full, device=device
         )
-        self.sampler = NeighborSampler(
-            local_graph, train_nids, cfg.sampler, labels=labels, seed=seed,
-        )
+        if cfg.train.remote_sampling:
+            # isolation mode: sampling in worker processes (reference's
+            # pa_iso / SampleDeliver path, dataloader.py:68-181)
+            from ..sampling.service import SampleService
+            self.sampler = SampleService(
+                local_graph, train_nids, cfg.sampler, labels=labels,
+                seed=seed,
+            )
+        else:
+            self.sampler = NeighborSampler(
+                local_graph, train_nids, cfg.sampler, labels=labels, seed=seed,
+            )
         self.loader = PrefetchLoader(
             self.sampler, self.cache,
             prefetch=cfg.sampler.prefetch, device=device,
