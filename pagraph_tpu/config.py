@@ -44,6 +44,7 @@ class SamplerConfig:
     num_hops: int = 2                 # layered expansion depth
     include_self: bool = True         # dst vertex kept in src layer (NodeFlow semantics)
     cap_factor: float = 1.0           # scales worst-case per-layer capacity
+    auto_caps: bool = True            # probe batches and shrink caps to occupancy
     backend: str = "auto"             # auto | numpy | native
     prefetch: int = 2                 # batches in flight (loader double-buffering)
     seed: int = 0

@@ -76,6 +76,12 @@ class DataParallelTrainer:
             )
             for r, p in enumerate(self.parts)
         ]
+        if cfg.sampler.auto_caps:
+            # uniform caps across chips: elementwise max of per-chip probes
+            probed = np.array([s.calibrate_caps() for s in self.samplers])
+            self.caps = tuple(int(c) for c in probed.max(axis=0))
+            for s in self.samplers:
+                s.set_caps(self.caps)
         self.caches = [
             FeatureCache(store, field_names, p.graph, p.local2full)
             for p in self.parts
@@ -160,6 +166,12 @@ class DataParallelTrainer:
                 cache.cache_values = jnp.pad(cache.cache_values, ((0, pad), (0, 0)))
         stacked = np.stack([np.asarray(c.cache_values) for c in self.caches])
         self._cache_stacked = jax.device_put(stacked, self._dp)
+        # residency maps, padded to the largest partition with -1 (device plan)
+        max_n = max(p.num_nodes for p in self.parts)
+        maps = np.full((len(self.caches), max_n), -1, dtype=np.int32)
+        for r, c in enumerate(self.caches):
+            maps[r, : len(c.cache_map)] = c.cache_map
+        self._cache_map_stacked = jax.device_put(maps, self._dp)
         if self.log:
             print(f"[cache] per-chip capacity={cap} vertices")
 
@@ -190,7 +202,8 @@ class DataParallelTrainer:
             mbs = self._next_round(iters)
             if ici:
                 from ..storage.cache import FetchPlan
-                layout = make_layout(self.caps, fanout, 0, 0)
+                layout = make_layout(self.caps, fanout, 0, 0,
+                                     device_plan=True)
                 halos, packed = [], []
                 empty = FetchPlan(
                     hit_mask=np.zeros(self.caps[0], dtype=bool),
@@ -220,7 +233,8 @@ class DataParallelTrainer:
             # per-device miss buckets differ: pad to the largest so the
             # stacked buffers are uniform (zero rows are never gathered)
             max_bucket = max(p.miss_feats.shape[0] for p in plans)
-            layout = make_layout(self.caps, fanout, total_dim, max_bucket)
+            layout = make_layout(self.caps, fanout, total_dim, max_bucket,
+                                 device_plan=True)
             packed = []
             for mb, plan in zip(mbs, plans):
                 if plan.miss_feats.shape[0] < max_bucket:
@@ -253,10 +267,16 @@ class DataParallelTrainer:
                 u8 = jax.device_put(u8, self._dp)
                 extra = jax.device_put(extra, self._dp)
             with self.timers.scope("step"):
-                self.state, acc_buf = self.step_fn(
-                    layout, self.state, acc_buf, i32, u8, extra,
-                    self._feat_shards if ici else self._cache_stacked,
-                )
+                if ici:
+                    self.state, acc_buf = self.step_fn(
+                        layout, self.state, acc_buf, i32, u8, extra,
+                        self._feat_shards,
+                    )
+                else:
+                    self.state, acc_buf = self.step_fn(
+                        layout, self.state, acc_buf, i32, u8, extra,
+                        self._cache_stacked, self._cache_map_stacked,
+                    )
             nb += 1
         vals = np.asarray(acc_buf)
         tot_loss, tot_acc = float(vals[0]), float(vals[1])

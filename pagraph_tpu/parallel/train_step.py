@@ -48,8 +48,9 @@ def make_dp_train_step(
 
     def per_device_step(layout, state: TrainState, metrics_acc: jax.Array,
                         i32: jax.Array, u8: jax.Array, f32: jax.Array,
-                        cache_values: jax.Array):
+                        cache_values: jax.Array, cache_map: jax.Array):
         from ..sampling.pack import unpack
+        from ..storage.cache import assemble_features_from_map
 
         # leading device axis is size 1 inside the shard: drop it
         mb, plan = unpack(layout, i32[0], u8[0], f32[0])
@@ -58,7 +59,13 @@ def make_dp_train_step(
         rng, sub = jax.random.split(state.rng)
         sub = jax.random.fold_in(sub, my_rank)   # independent dropout per chip
 
-        fused = assemble_features(cache_values, plan)
+        if layout.device_plan:
+            fused = assemble_features_from_map(
+                cache_values, cache_map[0], mb.input_nids, mb.input_mask,
+                f32[0],
+            )
+        else:
+            fused = assemble_features(cache_values, plan)
         feats = fused[:, feat_slice]
 
         def loss_fn(params):
@@ -84,15 +91,16 @@ def make_dp_train_step(
         ])
         return new_state, metrics_acc + delta
 
-    def stepper(layout, state, metrics_acc, i32, u8, f32, cache_values):
+    def stepper(layout, state, metrics_acc, i32, u8, f32, cache_values,
+                cache_map):
         fn = shard_map(
             partial(per_device_step, layout),
             mesh=mesh,
-            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return fn(state, metrics_acc, i32, u8, f32, cache_values)
+        return fn(state, metrics_acc, i32, u8, f32, cache_values, cache_map)
 
     return jax.jit(stepper, static_argnames=("layout",),
                    donate_argnames=("metrics_acc",))

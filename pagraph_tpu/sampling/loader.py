@@ -71,6 +71,7 @@ class PrefetchLoader:
                     layout = make_layout(
                         self.sampler.caps, self.sampler.config.fanout,
                         self.cache.total_dim, plan.miss_feats.shape[0],
+                        device_plan=True,
                     )
                     i32, u8, f32 = pack(mb, plan, layout)
                     q.put((layout, put(i32), put(u8), put(f32)))

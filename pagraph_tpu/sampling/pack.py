@@ -28,6 +28,10 @@ class BatchLayout:
     fanout: int
     total_dim: int              # fused feature width
     bucket: int                 # miss_feats rows (varies by power-of-2 bucket)
+    device_plan: bool = False   # True: hit/miss split recomputed on device
+                                # from a resident cache map; the packed
+                                # buffers then omit cache_pos/miss_slot/
+                                # hit_mask entirely (less H2D traffic)
 
     @property
     def hops(self) -> int:
@@ -37,23 +41,26 @@ class BatchLayout:
     def i32_sections(self):
         caps = self.caps
         dst = caps[1:]
-        return [
+        out = [
             ("layer_nids", sum(caps)),
             ("labels", caps[-1]),
             ("self_pos", sum(dst)),
             ("neigh_pos", sum(dst) * self.fanout),
-            ("cache_pos", caps[0]),
-            ("miss_slot", caps[0]),
         ]
+        if not self.device_plan:
+            out += [("cache_pos", caps[0]), ("miss_slot", caps[0])]
+        return out
 
     def u8_sections(self):
         caps = self.caps
         dst = caps[1:]
-        return [
+        out = [
             ("layer_mask", sum(caps)),
             ("neigh_mask", sum(dst) * self.fanout),
-            ("hit_mask", caps[0]),
         ]
+        if not self.device_plan:
+            out.append(("hit_mask", caps[0]))
+        return out
 
     @property
     def i32_size(self) -> int:
@@ -65,9 +72,9 @@ class BatchLayout:
 
 
 def make_layout(caps: Sequence[int], fanout: int, total_dim: int,
-                bucket: int) -> BatchLayout:
+                bucket: int, device_plan: bool = False) -> BatchLayout:
     return BatchLayout(tuple(int(c) for c in caps), int(fanout),
-                       int(total_dim), int(bucket))
+                       int(total_dim), int(bucket), bool(device_plan))
 
 
 def pack(mb: MiniBatch, plan: FetchPlan, layout: BatchLayout
@@ -90,8 +97,9 @@ def pack(mb: MiniBatch, plan: FetchPlan, layout: BatchLayout
         put_i32(b.self_pos)
     for b in mb.blocks:
         put_i32(b.neigh_pos)
-    put_i32(plan.cache_pos)
-    put_i32(plan.miss_slot)
+    if not layout.device_plan:
+        put_i32(plan.cache_pos)
+        put_i32(plan.miss_slot)
     assert at == layout.i32_size
 
     at = 0
@@ -106,7 +114,8 @@ def pack(mb: MiniBatch, plan: FetchPlan, layout: BatchLayout
         put_u8(m)
     for b in mb.blocks:
         put_u8(b.neigh_mask)
-    put_u8(plan.hit_mask)
+    if not layout.device_plan:
+        put_u8(plan.hit_mask)
     assert at == layout.u8_size
 
     f32 = np.asarray(plan.miss_feats, dtype=np.float32)
@@ -192,6 +201,8 @@ def unpack(layout: BatchLayout, i32: jax.Array, u8: jax.Array,
     )
     mb = MiniBatch(layer_nids=layer_nids, layer_mask=layer_mask,
                    blocks=blocks, labels=sec["labels"])
+    if layout.device_plan:
+        return mb, None
     plan = FetchPlan(
         hit_mask=usec["hit_mask"].astype(bool),
         cache_pos=sec["cache_pos"],

@@ -176,6 +176,44 @@ class NeighborSampler:
         b = self.config.batch_size
         return (len(self.train_nids) + b - 1) // b
 
+    def calibrate_caps(self, probes: int = 8, slack: float = 1.2,
+                       pad: int = 256) -> tuple:
+        """Shrink layer capacities from the worst case to observed occupancy.
+
+        Worst-case caps (batch * (fanout+1)^hop) are hugely pessimistic on
+        real graphs because deduplication collapses shared neighbors (e.g.
+        34% occupancy on RMAT-20 at fanout 2).  Probing a few batches and
+        sizing to max*slack (rounded up to ``pad``) shrinks every device
+        buffer, H2D transfer and kernel proportionally.  Rare overflow later
+        is handled by the sampler's edge-masking safety valve.
+        """
+        rng = np.random.default_rng(0xC0FFEE ^ self.config.seed)
+        maxes = np.zeros(len(self.caps), dtype=np.int64)
+        n = len(self.train_nids)
+        for _ in range(probes):
+            seeds = self.train_nids[
+                rng.choice(n, size=min(self.config.batch_size, n),
+                           replace=False)
+            ]
+            mb = self.sample(seeds)
+            sizes = [int(np.asarray(m).sum()) for m in mb.layer_mask]
+            maxes = np.maximum(maxes, sizes)
+        new_caps = []
+        for i, (cap, mx) in enumerate(zip(self.caps, maxes)):
+            c = min(int(mx * slack + pad - 1) // pad * pad, cap)
+            new_caps.append(max(c, 1))
+        new_caps[-1] = self.caps[-1]          # seed layer stays batch-sized
+        self.set_caps(tuple(new_caps))
+        return self.caps
+
+    def set_caps(self, caps: tuple) -> None:
+        self.caps = tuple(int(c) for c in caps)
+        if self._native is not None:
+            from . import native as _native_mod
+            self._native = _native_mod.NativeSampler(
+                self.graph, self.config, self.caps
+            )
+
     def epoch(self) -> Iterator[MiniBatch]:
         order = (
             self.rng.permutation(len(self.train_nids))

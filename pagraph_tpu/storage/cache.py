@@ -64,6 +64,28 @@ def assemble_features(cache_values: jax.Array, plan: FetchPlan) -> jax.Array:
     return jnp.where(plan.hit_mask[:, None], hits, misses)
 
 
+def assemble_features_from_map(
+    cache_values: jax.Array,    # [capacity, total_dim]
+    cache_map: jax.Array,       # int32 [num_local_nodes] row or -1
+    nids: jax.Array,            # int32 [cap0] layer-0 local ids
+    mask: jax.Array,            # bool  [cap0]
+    miss_feats: jax.Array,      # f32   [bucket, total_dim]
+) -> jax.Array:
+    """Device-side hit/miss split: recomputes the FetchPlan inside jit from
+    the HBM-resident residency map, so only ``miss_feats`` crosses the host
+    link.  Miss ordering matches the host gather (first-occurrence order of
+    valid misses — see FeatureCache.fetch_plan)."""
+    pos = jnp.take(cache_map, nids, axis=0)
+    hit = pos >= 0
+    miss = jnp.logical_and(~hit, mask)
+    hits = jnp.take(cache_values, jnp.where(hit, pos, 0), axis=0)
+    if miss_feats.shape[0] == 0:
+        return hits
+    miss_slot = jnp.cumsum(miss.astype(jnp.int32)) - 1
+    misses = jnp.take(miss_feats, jnp.clip(miss_slot, 0, None), axis=0)
+    return jnp.where(hit[:, None], hits, misses)
+
+
 class FeatureCache:
     """Per-device static cache over a partition's LOCAL vertex space."""
 
@@ -127,6 +149,8 @@ class FeatureCache:
         self.fully_cached = capacity >= n
         if capacity == 0:
             self.cache_values = jnp.zeros((1, self.total_dim), dtype=jnp.float32)
+            self.cache_map[:] = -1
+            self._sync_map_dev()
             return
         if self.fully_cached:
             chosen = np.arange(n, dtype=np.int64)
@@ -139,6 +163,13 @@ class FeatureCache:
         if self.device is not None:
             arr = jax.device_put(arr, self.device)
         self.cache_values = arr
+        self._sync_map_dev()
+
+    def _sync_map_dev(self) -> None:
+        m = jnp.asarray(self.cache_map)
+        self.cache_map_dev = (
+            jax.device_put(m, self.device) if self.device is not None else m
+        )
 
     # -- per-batch fetch ----------------------------------------------------
 

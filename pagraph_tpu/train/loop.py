@@ -68,14 +68,21 @@ class Trainer:
             # isolation mode: sampling in worker processes (reference's
             # pa_iso / SampleDeliver path, dataloader.py:68-181)
             from ..sampling.service import SampleService
+            caps = None
+            if cfg.sampler.auto_caps:
+                probe = NeighborSampler(local_graph, train_nids, cfg.sampler,
+                                        labels=labels, seed=seed)
+                caps = probe.calibrate_caps()
             self.sampler = SampleService(
                 local_graph, train_nids, cfg.sampler, labels=labels,
-                seed=seed,
+                seed=seed, caps=caps,
             )
         else:
             self.sampler = NeighborSampler(
                 local_graph, train_nids, cfg.sampler, labels=labels, seed=seed,
             )
+            if cfg.sampler.auto_caps:
+                self.sampler.calibrate_caps()
         self.loader = PrefetchLoader(
             self.sampler, self.cache,
             prefetch=cfg.sampler.prefetch, device=device,
@@ -166,7 +173,7 @@ class Trainer:
                 with self.timers.scope("step"):
                     self.state, acc_buf = self.step_fn(
                         layout, self.state, acc_buf, i32, u8, f32,
-                        self.cache.cache_values,
+                        self.cache.cache_values, self.cache.cache_map_dev,
                     )
                 nb += 1
             if nb:

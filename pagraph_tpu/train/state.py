@@ -82,6 +82,7 @@ def make_packed_train_step(cfg: Config, tx: optax.GradientTransformation,
     ``layout`` is static (one executable per miss-bucket size).
     """
     from ..sampling.pack import unpack
+    from ..storage.cache import assemble_features_from_map
 
     _, apply_fn = get_model(cfg.model)
     sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
@@ -91,10 +92,15 @@ def make_packed_train_step(cfg: Config, tx: optax.GradientTransformation,
     @partial(jax.jit, static_argnames=("layout",), donate_argnames=("metrics_acc",))
     def train_step(layout, state: TrainState, metrics_acc: jax.Array,
                    i32: jax.Array, u8: jax.Array, f32: jax.Array,
-                   cache_values: jax.Array):
+                   cache_values: jax.Array, cache_map: jax.Array):
         mb, plan = unpack(layout, i32, u8, f32)
         rng, sub = jax.random.split(state.rng)
-        fused = assemble_features(cache_values, plan)
+        if layout.device_plan:
+            fused = assemble_features_from_map(
+                cache_values, cache_map, mb.input_nids, mb.input_mask, f32
+            )
+        else:
+            fused = assemble_features(cache_values, plan)
         feats = fused[:, feat_slice]
 
         def loss_fn(params):
