@@ -37,26 +37,40 @@ class PrefetchLoader:
         prefetch: int = 2,
         device: Optional[jax.Device] = None,
         packed: bool = False,
+        workers: int = 2,
     ):
         self.sampler = sampler
         self.cache = cache
         self.prefetch = max(1, prefetch)
         self.device = device
         self.packed = packed
+        # producer threads: sampling happens under a lock (generators and the
+        # native scratch map are not thread-safe) but fetch_plan/pack/
+        # device_put run concurrently, pipelining H2D transfers.  Items carry
+        # sequence numbers and the consumer reorders, so epoch order (and
+        # therefore the training trajectory) stays deterministic.
+        self.workers = max(1, workers)
         # throughput accounting (reference counts loaded vertices per epoch,
         # examples/count_vnum.py:16-20; we also count sampled edges)
         self.epoch_edges = 0
         self.epoch_vertices = 0
 
-    def _produce(self, q: queue.Queue, stop: threading.Event) -> None:
+    def _produce(self, q: queue.Queue, stop: threading.Event,
+                 it, it_lock: threading.Lock, done_counter: list) -> None:
         try:
-            for mb in self.sampler.epoch():
-                if stop.is_set():
-                    break
-                self.epoch_edges += mb.num_sampled_edges()
-                self.epoch_vertices += int(
-                    sum(np.asarray(m).sum() for m in mb.layer_mask)
-                )
+            while not stop.is_set():
+                with it_lock:
+                    try:
+                        mb = next(it)
+                    except StopIteration:
+                        break
+                    seq = done_counter[1]
+                    done_counter[1] += 1
+                    # sampler scratch + stat counters are shared: update here
+                    self.epoch_edges += mb.num_sampled_edges()
+                    self.epoch_vertices += int(
+                        sum(np.asarray(m).sum() for m in mb.layer_mask)
+                    )
                 plan = self.cache.fetch_plan(
                     np.asarray(mb.input_nids), np.asarray(mb.input_mask)
                 )
@@ -74,39 +88,63 @@ class PrefetchLoader:
                         device_plan=True,
                     )
                     i32, u8, f32 = pack(mb, plan, layout)
-                    q.put((layout, put(i32), put(u8), put(f32)))
+                    q.put((seq, (layout, put(i32), put(u8), put(f32))))
                 else:
                     mb_dev = jax.tree.map(put, mb)
                     plan_dev = jax.tree.map(put, plan)
-                    q.put((mb_dev, plan_dev))
-            q.put(_END)
+                    q.put((seq, (mb_dev, plan_dev)))
+            with it_lock:
+                done_counter[0] += 1
+                if done_counter[0] == self.workers:
+                    q.put(_END)
         except BaseException as e:  # surface errors to the consumer
             q.put(e)
 
     def epoch(self) -> Iterator[Tuple[MiniBatch, FetchPlan]]:
         self.epoch_edges = 0
         self.epoch_vertices = 0
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, self.workers))
         stop = threading.Event()
-        t = threading.Thread(target=self._produce, args=(q, stop), daemon=True)
-        t.start()
+        it = self.sampler.epoch()
+        it_lock = threading.Lock()
+        done_counter = [0, 0]   # [workers finished, next sequence number]
+        threads = [
+            threading.Thread(
+                target=self._produce,
+                args=(q, stop, it, it_lock, done_counter),
+                daemon=True,
+            )
+            for _ in range(self.workers)
+        ]
+        for t in threads:
+            t.start()
         try:
+            pending: dict = {}
+            expect = 0
             while True:
                 item = q.get()
                 if item is _END:
                     break
                 if isinstance(item, BaseException):
                     raise item
-                yield item
+                seq, payload = item
+                pending[seq] = payload
+                while expect in pending:
+                    yield pending.pop(expect)
+                    expect += 1
+            while expect in pending:    # drain the reorder buffer
+                yield pending.pop(expect)
+                expect += 1
         finally:
             stop.set()
-            # drain so the producer can exit
-            while t.is_alive():
+            # drain so producers can exit
+            while any(t.is_alive() for t in threads):
                 try:
                     q.get_nowait()
                 except queue.Empty:
                     break
-            t.join(timeout=5)
+            for t in threads:
+                t.join(timeout=5)
 
     def __iter__(self):
         return self.epoch()

@@ -41,26 +41,40 @@ class BatchLayout:
     def i32_sections(self):
         caps = self.caps
         dst = caps[1:]
-        out = [
+        if self.device_plan:
+            # lean layout: the compiled step only reads layer-0 ids, the
+            # seed labels/mask, the input mask and the block indices —
+            # inner-layer ids/masks never leave the host
+            return [
+                ("layer0_nids", caps[0]),
+                ("labels", caps[-1]),
+                ("self_pos", sum(dst)),
+                ("neigh_pos", sum(dst) * self.fanout),
+            ]
+        return [
             ("layer_nids", sum(caps)),
             ("labels", caps[-1]),
             ("self_pos", sum(dst)),
             ("neigh_pos", sum(dst) * self.fanout),
+            ("cache_pos", caps[0]),
+            ("miss_slot", caps[0]),
         ]
-        if not self.device_plan:
-            out += [("cache_pos", caps[0]), ("miss_slot", caps[0])]
-        return out
 
     def u8_sections(self):
         caps = self.caps
         dst = caps[1:]
-        out = [
+        if self.device_plan:
+            # masks travel bit-packed (8 flags per byte)
+            return [
+                ("input_mask", caps[0] // 8),
+                ("seed_mask", caps[-1] // 8),
+                ("neigh_mask", sum(dst) * self.fanout // 8),
+            ]
+        return [
             ("layer_mask", sum(caps)),
             ("neigh_mask", sum(dst) * self.fanout),
+            ("hit_mask", caps[0]),
         ]
-        if not self.device_plan:
-            out.append(("hit_mask", caps[0]))
-        return out
 
     @property
     def i32_size(self) -> int:
@@ -73,8 +87,15 @@ class BatchLayout:
 
 def make_layout(caps: Sequence[int], fanout: int, total_dim: int,
                 bucket: int, device_plan: bool = False) -> BatchLayout:
-    return BatchLayout(tuple(int(c) for c in caps), int(fanout),
-                       int(total_dim), int(bucket), bool(device_plan))
+    caps = tuple(int(c) for c in caps)
+    if device_plan and any(c % 8 for c in caps):
+        raise ValueError(f"device-plan layout needs caps divisible by 8: {caps}")
+    return BatchLayout(caps, int(fanout), int(total_dim), int(bucket),
+                       bool(device_plan))
+
+
+def _packbits(arr: np.ndarray) -> np.ndarray:
+    return np.packbits(np.asarray(arr, dtype=bool), bitorder="little")
 
 
 def pack(mb: MiniBatch, plan: FetchPlan, layout: BatchLayout
@@ -90,8 +111,11 @@ def pack(mb: MiniBatch, plan: FetchPlan, layout: BatchLayout
         i32[at:at + flat.size] = flat
         at += flat.size
 
-    for a in mb.layer_nids:
-        put_i32(a)
+    if layout.device_plan:
+        put_i32(mb.layer_nids[0])
+    else:
+        for a in mb.layer_nids:
+            put_i32(a)
     put_i32(mb.labels)
     for b in mb.blocks:
         put_i32(b.self_pos)
@@ -110,11 +134,17 @@ def pack(mb: MiniBatch, plan: FetchPlan, layout: BatchLayout
         u8[at:at + flat.size] = flat
         at += flat.size
 
-    for m in mb.layer_mask:
-        put_u8(m)
-    for b in mb.blocks:
-        put_u8(b.neigh_mask)
-    if not layout.device_plan:
+    if layout.device_plan:
+        put_u8(_packbits(mb.layer_mask[0]))
+        put_u8(_packbits(mb.layer_mask[-1]))
+        put_u8(_packbits(np.concatenate(
+            [np.asarray(b.neigh_mask).ravel() for b in mb.blocks]
+        )))
+    else:
+        for m in mb.layer_mask:
+            put_u8(m)
+        for b in mb.blocks:
+            put_u8(b.neigh_mask)
         put_u8(plan.hit_mask)
     assert at == layout.u8_size
 
@@ -163,6 +193,13 @@ def unpack_numpy(layout: BatchLayout, i32: np.ndarray, u8: np.ndarray
                      blocks=blocks, labels=sec["labels"])
 
 
+def _unpackbits(packed: jax.Array, n: int) -> jax.Array:
+    """Jit-side little-endian bit unpack -> bool [n]."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[:, None] >> shifts[None, :]) & jnp.uint8(1)
+    return bits.reshape(-1)[:n].astype(bool)
+
+
 def unpack(layout: BatchLayout, i32: jax.Array, u8: jax.Array,
            f32: jax.Array) -> Tuple[MiniBatch, FetchPlan]:
     """Jit-side unpack (static slices; folds into downstream gathers)."""
@@ -186,15 +223,39 @@ def unpack(layout: BatchLayout, i32: jax.Array, u8: jax.Array,
             a += s
         return out
 
-    layer_nids = tuple(split(sec["layer_nids"], caps))
-    layer_mask = tuple(m.astype(bool) for m in split(usec["layer_mask"], caps))
     self_list = split(sec["self_pos"], caps[1:])
     npos_list = split(sec["neigh_pos"], [c * fanout for c in caps[1:]])
-    nmask_list = split(usec["neigh_mask"], [c * fanout for c in caps[1:]])
+
+    if layout.device_plan:
+        # lean layout: inner-layer ids/masks were not transferred (the
+        # models never read them); reconstruct placeholders
+        layer_nids = tuple(
+            [sec["layer0_nids"]]
+            + [jnp.zeros(c, dtype=jnp.int32) for c in caps[1:]]
+        )
+        input_mask = _unpackbits(usec["input_mask"], caps[0])
+        seed_mask = _unpackbits(usec["seed_mask"], caps[-1])
+        layer_mask = tuple(
+            [input_mask]
+            + [jnp.ones(c, dtype=bool) for c in caps[1:-1]]
+            + [seed_mask]
+        )
+        nmask_flat = _unpackbits(usec["neigh_mask"],
+                                 sum(c * fanout for c in caps[1:]))
+        nmask_list = split(nmask_flat, [c * fanout for c in caps[1:]])
+    else:
+        layer_nids = tuple(split(sec["layer_nids"], caps))
+        layer_mask = tuple(
+            m.astype(bool) for m in split(usec["layer_mask"], caps)
+        )
+        nmask_list = [
+            m.astype(bool)
+            for m in split(usec["neigh_mask"], [c * fanout for c in caps[1:]])
+        ]
     blocks = tuple(
         Block(
             neigh_pos=npos_list[b].reshape(caps[b + 1], fanout),
-            neigh_mask=nmask_list[b].reshape(caps[b + 1], fanout).astype(bool),
+            neigh_mask=nmask_list[b].reshape(caps[b + 1], fanout),
             self_pos=self_list[b],
         )
         for b in range(hops)

@@ -115,9 +115,12 @@ class FeatureCache:
         self.cache_values: Optional[jax.Array] = None
         self.capacity = 0
         self.fully_cached = False
-        # miss-rate accounting (reference: storage.py:219-227)
+        # miss-rate accounting (reference: storage.py:219-227); the lock
+        # keeps counters exact under multi-threaded loaders
         self.try_num = 0
         self.miss_num = 0
+        import threading
+        self._stat_lock = threading.Lock()
 
     # -- fill ---------------------------------------------------------------
 
@@ -192,8 +195,9 @@ class FeatureCache:
         miss = (~hit) & mask
         n_miss = int(miss.sum())
         if track:
-            self.try_num += int(mask.sum())
-            self.miss_num += n_miss
+            with self._stat_lock:
+                self.try_num += int(mask.sum())
+                self.miss_num += n_miss
         bucket = bucket_size(n_miss, cap0)
         miss_feats = np.zeros((bucket, self.total_dim), dtype=np.float32)
         miss_slot = np.zeros(cap0, dtype=np.int32)
