@@ -93,6 +93,7 @@ class TrainConfig:
     ckpt_dir: Optional[str] = None
     ckpt_every: int = 0               # epochs between checkpoints; 0 = off
     remote_sampling: bool = False     # isolation mode: sampling in worker procs
+    steps_per_dispatch: int = 8       # K batches per compiled call (lax.scan)
     dtype: str = "float32"            # compute dtype for activations
 
 

@@ -38,6 +38,7 @@ class PrefetchLoader:
         device: Optional[jax.Device] = None,
         packed: bool = False,
         workers: int = 2,
+        host_output: bool = False,
     ):
         self.sampler = sampler
         self.cache = cache
@@ -50,6 +51,9 @@ class PrefetchLoader:
         # sequence numbers and the consumer reorders, so epoch order (and
         # therefore the training trajectory) stays deterministic.
         self.workers = max(1, workers)
+        # host_output: skip device_put in the producers (the consumer groups
+        # several batches into one transfer — see make_multistep_train_step)
+        self.host_output = host_output
         # throughput accounting (reference counts loaded vertices per epoch,
         # examples/count_vnum.py:16-20; we also count sampled edges)
         self.epoch_edges = 0
@@ -75,11 +79,12 @@ class PrefetchLoader:
                     np.asarray(mb.input_nids), np.asarray(mb.input_mask)
                 )
                 # device_put from the producer thread: H2D overlaps compute
-                put = (
-                    (lambda x: jax.device_put(x, self.device))
-                    if self.device is not None
-                    else jnp.asarray
-                )
+                if self.host_output:
+                    put = lambda x: x
+                elif self.device is not None:
+                    put = lambda x: jax.device_put(x, self.device)
+                else:
+                    put = jnp.asarray
                 if self.packed:
                     from .pack import make_layout, pack
                     layout = make_layout(

@@ -100,8 +100,14 @@ class Trainer:
                 cfg, self._tx, self.cache.field_offsets
             )
         else:
-            from .state import make_packed_train_step
+            from .state import make_multistep_train_step, make_packed_train_step
             self.loader.packed = True
+            self._group = max(1, cfg.train.steps_per_dispatch)
+            if self._group > 1:
+                self.loader.host_output = True
+                self.multistep_fn = make_multistep_train_step(
+                    cfg, self._tx, self.cache.field_offsets
+                )
             self.step_fn = make_packed_train_step(
                 cfg, self._tx, self.cache.field_offsets
             )
@@ -165,17 +171,57 @@ class Trainer:
         else:
             # packed path: no host sync inside the epoch; metrics accumulate
             # on device and are fetched once at the end
+            import dataclasses as _dc
+
             import jax.numpy as jnp
             acc_buf = jnp.zeros(3, dtype=jnp.float32)
             if self.device is not None:
                 acc_buf = jax.device_put(acc_buf, self.device)
-            for layout, i32, u8, f32 in self.loader.epoch():
+            K = getattr(self, "_group", 1)
+
+            def put(x):
+                return (jax.device_put(x, self.device)
+                        if self.device is not None else jnp.asarray(x))
+
+            def flush(group):
+                nonlocal acc_buf
+                layout0 = group[0][0]
+                max_bucket = max(g[0].bucket for g in group)
+                layout = _dc.replace(layout0, bucket=max_bucket)
+                i32 = np.stack([g[1] for g in group])
+                u8 = np.stack([g[2] for g in group])
+                f32 = np.stack([
+                    np.pad(g[3], ((0, max_bucket - g[3].shape[0]), (0, 0)))
+                    if g[3].shape[0] < max_bucket else g[3]
+                    for g in group
+                ]) if max_bucket else np.zeros(
+                    (len(group), 0, layout.total_dim), np.float32)
+                with self.timers.scope("h2d"):
+                    i32d, u8d, f32d = put(i32), put(u8), put(f32)
                 with self.timers.scope("step"):
-                    self.state, acc_buf = self.step_fn(
-                        layout, self.state, acc_buf, i32, u8, f32,
+                    self.state, acc_buf = self.multistep_fn(
+                        layout, self.state, acc_buf, i32d, u8d, f32d,
                         self.cache.cache_values, self.cache.cache_map_dev,
                     )
-                nb += 1
+
+            if K > 1:
+                group = []
+                for item in self.loader.epoch():
+                    group.append(item)
+                    nb += 1
+                    if len(group) == K:
+                        flush(group)
+                        group = []
+                if group:
+                    flush(group)
+            else:
+                for layout, i32, u8, f32 in self.loader.epoch():
+                    with self.timers.scope("step"):
+                        self.state, acc_buf = self.step_fn(
+                            layout, self.state, acc_buf, i32, u8, f32,
+                            self.cache.cache_values, self.cache.cache_map_dev,
+                        )
+                    nb += 1
             if nb:
                 vals = np.asarray(acc_buf)
                 tot_loss, tot_acc = float(vals[0]), float(vals[1])
