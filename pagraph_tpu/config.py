@@ -25,6 +25,9 @@ class ModelConfig:
     dropout: float = 0.2
     aggregator: str = "mean"          # graphsage: mean | gcn | pool | lstm
     preprocess: bool = False          # layer-0 pre-aggregated server-side
+    skip_connection: bool = True      # cat((h, act(h))) on the last hidden
+                                      # layer; False = the reference's plain
+                                      # gcn_ns variant (model/gcn_ns.py)
 
     @property
     def num_gnn_layers(self) -> int:

@@ -42,7 +42,10 @@ def init_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> dict:
         first_hidden = 1
     for i in range(first_hidden, nl):
         params["updates"].append(init_linear(keys[i], hid, hid, dtype=dtype))
-    params["updates"].append(init_linear(keys[nl], 2 * hid, nc, dtype=dtype))
+    # skip-concat doubles the output layer's input (gcn_nssc.py:58); the
+    # plain gcn_ns variant has no skip (gcn_ns.py:23-44)
+    out_in = 2 * hid if cfg.skip_connection else hid
+    params["updates"].append(init_linear(keys[nl], out_in, nc, dtype=dtype))
     return params
 
 
@@ -90,7 +93,8 @@ def apply(
         # apply the dense input transform here (gcn_nssc.py:80-91).
         h = dropout(h, cfg.dropout, next_rng(), train)
         h = linear(params["dense"], h)
-        h = concat_skip(h, ACT) if nl == 1 else ACT(h)
+        h = (concat_skip(h, ACT) if (nl == 1 and cfg.skip_connection)
+             else ACT(h))
 
     for bi, (block, p) in enumerate(zip(mb.blocks, updates)):
         if not infer:
@@ -98,7 +102,7 @@ def apply(
         # concat fires on the last hidden update; with preprocess the dense
         # input layer already consumed update slot 0 of the reference order.
         upd_global_idx = bi + (1 if cfg.preprocess else 0)
-        is_concat = upd_global_idx == nl - 1
+        is_concat = (upd_global_idx == nl - 1) and cfg.skip_connection
         is_output = upd_global_idx == nl
         h_agg = block_aggregate(h, block, agg_kind)
         norm_dst = norm_layers[bi + 1] if infer else None

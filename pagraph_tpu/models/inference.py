@@ -92,7 +92,7 @@ def full_graph_logits(
             # sum aggregate * dst norm == exact mean (GCNInfer semantics)
             h_agg = (adj @ h) * norm[:, None]
             h = dev_linear(p, h_agg)
-            if li == nl - 1:
+            if li == nl - 1 and cfg.skip_connection:
                 h = np.concatenate([h, np.maximum(h, 0.0)], axis=1)
             elif li < nl:
                 h = np.maximum(h, 0.0)
@@ -102,7 +102,7 @@ def full_graph_logits(
         for li, p in enumerate(params["updates"]):
             h_agg = _aggregate(graph, adj, h, kind, norm)
             out = dev_linear(p["self"], h) + dev_linear(p["neigh"], h_agg)
-            if li == nl - 1:
+            if li == nl - 1 and cfg.skip_connection:
                 h = np.concatenate([out, np.maximum(out, 0.0)], axis=1)
             elif li < nl:
                 h = np.maximum(out, 0.0)

@@ -57,7 +57,8 @@ def init_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> dict:
     else:
         dims.append(fd)
         dims.extend([hid] * (nl - 1))
-    dims.append(2 * hid)  # output layer consumes the concat-widened reps
+    # output layer consumes concat-widened reps unless skip is disabled
+    dims.append(2 * hid if cfg.skip_connection else hid)
 
     out_dims = [hid] * (len(dims) - 1) + [nc]
     for d_in, d_out in zip(dims, out_dims):
@@ -96,7 +97,8 @@ def apply(
             raise ValueError("preprocess mode requires neigh_feats")
         h = dropout(h, cfg.dropout, next_rng(), train)
         h = linear(params["pre"]["self"], h) + linear(params["pre"]["neigh"], neigh_feats)
-        h = concat_skip(h, ACT) if nl == 1 else ACT(h)
+        h = (concat_skip(h, ACT) if (nl == 1 and cfg.skip_connection)
+             else ACT(h))
 
     for bi, (block, p) in enumerate(zip(mb.blocks, updates)):
         h = dropout(h, cfg.dropout, next_rng(), train)
@@ -107,7 +109,7 @@ def apply(
         h_self = block_self(h, block)
         out = linear(p["self"], h_self) + linear(p["neigh"], h_neigh)
         upd_global_idx = bi + (1 if cfg.preprocess else 0)
-        if upd_global_idx == nl - 1:
+        if upd_global_idx == nl - 1 and cfg.skip_connection:
             h = concat_skip(out, ACT)
         elif upd_global_idx == nl:
             h = out                       # output layer: raw logits

@@ -59,11 +59,11 @@ def _worker_main(
     caps: Tuple[int, ...],
     slot_spec: dict,
     task_q: mp.Queue,
-    done_q: mp.Queue,
+    done_qs,
     seed: int,
 ):
-    """Worker loop: task = (slot_id, seeds int64 array, epoch_seed) ->
-    sample into slot, report (slot_id, n_seeds)."""
+    """Worker loop: task = (consumer, slot_id, seeds, batch_seed) ->
+    sample into slot, report (slot_id, n_seeds) to that consumer's queue."""
     registry: list = []
     try:
         indptr = _attach(graph_spec["indptr"], registry)
@@ -85,7 +85,7 @@ def _worker_main(
             task = task_q.get()
             if task is _STOP:
                 break
-            slot_id, seeds, batch_seed = task
+            consumer, slot_id, seeds, batch_seed = task
             mb = sampler.sample(seeds, labels, batch_seed)
             plan = _EMPTY_PLAN_CACHE.get(caps[0])
             if plan is None:
@@ -94,7 +94,7 @@ def _worker_main(
             i32, u8, _ = pack(mb, plan, layout)
             i32_slots[slot_id, : len(i32)] = i32
             u8_slots[slot_id, : len(u8)] = u8
-            done_q.put((slot_id, len(seeds)))
+            done_qs[consumer].put((slot_id, len(seeds)))
     finally:
         for shm in registry:
             shm.close()
@@ -115,12 +115,21 @@ def _empty_plan(cap0: int):
 
 
 class SampleService:
-    """Sampling workers for ONE consumer (one2one mode).
+    """Sampling workers feeding one or more consumers.
 
-    The consumer iterates :meth:`epoch`, receiving ``(layer ids/masks/blocks)``
-    MiniBatches reconstructed as zero-copy views of shared-memory slots.
+    one2one (``num_consumers=1``, default): dedicated workers for a single
+    consumer iterating :meth:`epoch` — the reference's per-trainer sampler
+    processes (dataloader.py:150-172).
+
+    one2all (``num_consumers=N``): ONE worker pool over ONE graph serves N
+    consumers round-robin via :meth:`epoch_for` — the reference's shared
+    sampler with round-robin dispatch and tail make-up sends
+    (dataloader.py:113-147).  Each consumer has its own completion queue and
+    slot range, so a slow consumer only backpressures its own window.
+
+    MiniBatches are reconstructed as zero-copy views of shared-memory slots;
     ``num_slots`` bounds how far sampling runs ahead (the reference's
-    barrier window, dataloader.py:17).
+    50-batch barrier window, dataloader.py:17).
     """
 
     def __init__(
@@ -134,13 +143,18 @@ class SampleService:
         num_slots: int = 8,
         caps: Optional[Sequence[int]] = None,
         seed: int = 0,
+        num_consumers: int = 1,
     ):
+        self.num_consumers = num_consumers
+        num_slots = num_slots * num_consumers
         self.config = config
         self.train_nids = np.asarray(train_nids, dtype=np.int64)
         self.caps = tuple(caps) if caps is not None else config.layer_capacities(graph.num_nodes)
         self.layout = make_layout(self.caps, config.fanout, 0, 0)
         self.num_slots = num_slots
+        self._base_seed = seed
         self.rng = np.random.default_rng(seed)
+        self._epoch_idx = [0] * num_consumers
         self._registry: list = []
 
         graph_spec = {
@@ -164,12 +178,12 @@ class SampleService:
         }
         ctx = mp.get_context("spawn")   # workers must not inherit TPU state
         self._task_q = ctx.Queue()
-        self._done_q = ctx.Queue()
+        self._done_qs = [ctx.Queue() for _ in range(num_consumers)]
         self.workers = [
             ctx.Process(
                 target=_worker_main,
                 args=(graph_spec, config, self.caps, slot_spec,
-                      self._task_q, self._done_q, seed + w),
+                      self._task_q, self._done_qs, seed + w),
                 daemon=True,
             )
             for w in range(num_workers)
@@ -180,29 +194,65 @@ class SampleService:
     @property
     def num_batches(self) -> int:
         b = self.config.batch_size
-        return (len(self.train_nids) + b - 1) // b
+        total = (len(self.train_nids) + b - 1) // b
+        if self.num_consumers == 1:
+            return total
+        # one2all: every consumer gets the same step count; short consumers
+        # are topped up with make-up batches (reference dataloader.py:138-143)
+        return -(-total // self.num_consumers)
 
     def epoch(self) -> Iterator[MiniBatch]:
-        order = self.rng.permutation(len(self.train_nids))
+        return self.epoch_for(0)
+
+    def _epoch_chunks(self, rank: int):
+        """Round-robin chunk assignment; consumers short of the max step
+        count re-draw make-up chunks from the shuffled pool.  All consumers
+        derive the SAME per-epoch permutation (seeded by epoch index) so the
+        round-robin split is disjoint even though they iterate concurrently."""
+        ep = self._epoch_idx[rank]
+        self._epoch_idx[rank] += 1
+        rng = np.random.default_rng(
+            np.random.SeedSequence((self._base_seed, ep))
+        )
+        order = rng.permutation(len(self.train_nids))
         nids = self.train_nids[order]
         b = self.config.batch_size
         chunks = [nids[i:i + b] for i in range(0, len(nids), b)]
-        free = list(range(self.num_slots))
+        if self.num_consumers == 1:
+            return chunks
+        mine = chunks[rank::self.num_consumers]
+        want = self.num_batches
+        i = 0
+        while len(mine) < want:
+            mine.append(chunks[i % len(chunks)])
+            i += 1
+        return mine
+
+    def epoch_for(self, rank: int) -> Iterator[MiniBatch]:
+        # thread-local rng: consumers may iterate concurrently
+        rng = np.random.default_rng(
+            np.random.SeedSequence(
+                (self._base_seed, rank, self._epoch_idx[rank], 7)
+            )
+        )
+        chunks = self._epoch_chunks(rank)
+        per = self.num_slots // self.num_consumers
+        my_slots = list(range(rank * per, (rank + 1) * per))
+        done_q = self._done_qs[rank]
         submitted = 0
-        # prime the window (backpressure: at most num_slots in flight)
-        while free and submitted < len(chunks):
-            self._task_q.put((free.pop(), chunks[submitted],
-                              int(self.rng.integers(0, 2**31 - 1))))
+        while my_slots and submitted < len(chunks):
+            self._task_q.put((rank, my_slots.pop(), chunks[submitted],
+                              int(rng.integers(0, 2**31 - 1))))
             submitted += 1
         received = 0
         while received < len(chunks):
-            slot_id, _ = self._done_q.get()
+            slot_id, _ = done_q.get()
             received += 1
             yield self._decode(slot_id)
             # slot free again only after the consumer moved on
             if submitted < len(chunks):
-                self._task_q.put((slot_id, chunks[submitted],
-                                  int(self.rng.integers(0, 2**31 - 1))))
+                self._task_q.put((rank, slot_id, chunks[submitted],
+                                  int(rng.integers(0, 2**31 - 1))))
                 submitted += 1
 
     def _decode(self, slot_id: int) -> MiniBatch:

@@ -1,0 +1,98 @@
+"""CLI smoke tests (in-process, CPU backend)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pagraph_tpu.data.formats import load_dataset, save_dataset
+
+
+@pytest.fixture(scope="module")
+def ds_dir(tmp_path_factory):
+    from pagraph_tpu.cli import preprocess
+
+    out = str(tmp_path_factory.mktemp("ds") / "d")
+    preprocess.main([
+        "--out", out, "--gen", "uniform", "--vnum", "400", "--enum", "3000",
+        "--feat-size", "16", "--num-classes", "5", "--learnable-labels",
+    ])
+    return out
+
+
+def test_preprocess_output_loads(ds_dir):
+    ds = load_dataset(ds_dir)
+    assert ds.num_nodes == 400
+    assert ds.feat_dim == 16
+
+
+def test_partition_and_verify_cli(ds_dir, capsys):
+    from pagraph_tpu.cli import partition, verify_partition
+
+    partition.main([
+        "--dataset", ds_dir, "--partition", "2", "--method", "hash",
+        "--num-hops", "2",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    stats = json.loads(out)
+    assert stats["num_parts"] == 2
+    verify_partition.main([
+        "--dataset", ds_dir, "--partition", "2", "--method", "hash",
+        "--num-hops", "2",
+    ])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["coverage_ok"]
+    assert all(r["ok"] for r in res["partitions"])
+
+
+def test_analyze_count_vnum(ds_dir, capsys):
+    from pagraph_tpu.cli import analyze
+
+    analyze.main([
+        "count-vnum", "--dataset", ds_dir, "--batch-size", "64",
+        "--num-neighbors", "2", "--n-layers", "1",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["vertices_per_epoch"] > 0
+    assert out["edges_per_epoch"] > 0
+
+
+def test_analyze_cache_oracle(ds_dir, capsys):
+    from pagraph_tpu.cli import analyze
+
+    analyze.main([
+        "cache-oracle", "--dataset", ds_dir, "--batch-size", "64",
+        "--top-frac", "0.2",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= out["oracle_hit_rate"] <= 1.0
+    assert out["oracle_hit_rate"] >= out["degree_ranked_hit_rate"] - 1e-9
+
+
+def test_convert_npz_roundtrip(tmp_path, ds_dir):
+    from pagraph_tpu.cli import convert
+    import scipy.sparse as spsp
+
+    ds = load_dataset(ds_dir)
+    src = tmp_path / "src"
+    src.mkdir()
+    spsp.save_npz(str(src / "adj.npz"), ds.graph.to_coo())
+    np.save(str(src / "feat.npy"), ds.features)
+    np.save(str(src / "labels.npy"), ds.labels)
+    out = str(tmp_path / "converted")
+    convert.main(["--out", out, "--from-npz", str(src / "adj.npz")])
+    ds2 = load_dataset(out)
+    assert ds2.num_nodes == ds.num_nodes
+    np.testing.assert_allclose(ds2.features, ds.features)
+
+
+def test_train_cli_single_epoch(ds_dir, capsys):
+    from pagraph_tpu.cli import train
+
+    summary = train.main([
+        "--dataset", ds_dir, "--arch", "gcn", "--n-hidden", "8",
+        "--batch-size", "64", "--num-neighbors", "2", "--epochs", "2",
+        "--lr", "0.01",
+    ])
+    assert summary["epochs"] == 2
+    assert np.isfinite(summary["final_loss"])

@@ -61,6 +61,37 @@ def test_service_blocks_are_valid(service_ds):
         svc.close()
 
 
+def test_one2all_covers_epoch_disjointly(service_ds):
+    """one2all: N consumers round-robin over ONE worker pool; together they
+    cover the full train set (plus make-up batches at the tail)."""
+    import threading
+
+    cfg = SamplerConfig(batch_size=32, fanout=2, num_hops=2, seed=5)
+    svc = SampleService(service_ds.graph, service_ds.train_nids, cfg,
+                        labels=service_ds.labels, num_workers=2,
+                        num_slots=4, num_consumers=2)
+    try:
+        results = {0: [], 1: []}
+
+        def consume(rank):
+            for mb in svc.epoch_for(rank):
+                n = np.asarray(mb.seed_mask).sum()
+                results[rank].append(
+                    np.asarray(mb.layer_nids[-1])[:n].copy()
+                )
+
+        threads = [threading.Thread(target=consume, args=(r,)) for r in (0, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert len(results[0]) == len(results[1]) == svc.num_batches
+        seen = np.unique(np.concatenate(results[0] + results[1]))
+        np.testing.assert_array_equal(seen, np.sort(service_ds.train_nids))
+    finally:
+        svc.close()
+
+
 def test_trainer_with_remote_sampling(service_ds):
     import pagraph_tpu as pg
     from pagraph_tpu.train.loop import Trainer
