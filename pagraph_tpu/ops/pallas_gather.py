@@ -3,12 +3,18 @@ gather + segment reduction.
 
 These are the kernels SURVEY.md §2.3 N3 calls for: the reference leans on
 DGL's CUDA gather/SpMM; on TPU the same ops become explicit HBM->VMEM DMA
-programs.  XLA's stock row gather materializes through dynamic-slice loops;
-issuing one async DMA per row with a deep outstanding window hides HBM
-latency and keeps the VPU free for the reduction.
+programs with a deep outstanding-copy window.
 
-All kernels have jnp fallbacks (ops.aggregate) selected by ``use_pallas``;
-numerics are tested identical on the interpreter and on hardware.
+Measured on a v5e chip (f32, D=128): XLA's stock gather runs these shapes
+well — `jnp.take` 0.71 ms vs 0.84 ms Pallas for an 18k-row gather from 1M
+rows; the fused gather+mean at fanout 2 is 0.39 ms XLA vs 1.28 ms Pallas
+(per-row 512 B DMAs don't amortize).  The default compute path therefore
+stays on XLA; these kernels are the validated foundation for the regimes
+where hand DMA wins (large fan-outs, multi-hop fusion, int8/bf16 rows) and
+are numerically tested on both the interpreter and hardware.
+
+Constraints: feature dim must be 128-lane aligned (pad the store), tile
+sublane a multiple of 8.
 """
 from __future__ import annotations
 
@@ -77,43 +83,49 @@ def gather_rows_pallas(src: jax.Array, ids: jax.Array, *, tile: int = 256,
     return out[:n]
 
 
-def _gather_mean_kernel(pos_ref, cnt_ref, src_ref, out_ref, acc, sems):
-    """Fused gather + masked mean over the fanout axis.
+def _gather_sum_kernel(pos_ref, valid_ref, src_ref, out_ref, acc, sems):
+    """Fused gather + masked SUM over the fanout axis (mean normalization is
+    a fused XLA elementwise after the call).
 
-    Grid step = TILE destinations.  ``pos_ref`` is the scalar-prefetched
-    [num_dst * fanout] neighbor position list (masked slots point at row 0
-    and are excluded via ``cnt_ref`` scaling after a sum of *masked* rows —
-    the host packs masked slots as position 0 with count excluded).
-    ``cnt_ref`` holds 1/max(valid_count,1) per destination; masked slots
-    contribute src rows that are zeroed by the per-slot scale in ``acc``.
+    Grid step = TILE destinations.  ``pos_ref``/``valid_ref`` are the
+    scalar-prefetched [num_dst * fanout] neighbor positions and validity
+    flags; invalid slots issue no DMA and contribute the pre-zeroed scratch
+    row.  ``acc`` is [fanout, TILE, D] so the final reduction is a static
+    unrolled add — no in-kernel reshapes (Mosaic-friendly).
     """
     tile = out_ref.shape[0]
-    fanout = acc.shape[0] // tile
+    fanout = acc.shape[0]
     base = pl.program_id(0) * tile * fanout
+    acc[...] = jnp.zeros(acc.shape, acc.dtype)
 
     def issue(i, _):
-        pltpu.make_async_copy(
-            src_ref.at[pos_ref[base + i]], acc.at[i], sems.at[i]
-        ).start()
+        @pl.when(valid_ref[base + i] == 1)
+        def _():
+            pltpu.make_async_copy(
+                src_ref.at[pos_ref[base + i]],
+                acc.at[i % fanout, i // fanout],
+                sems.at[i % fanout, i // fanout],
+            ).start()
         return 0
 
     jax.lax.fori_loop(0, tile * fanout, issue, 0)
 
     def wait(i, _):
-        pltpu.make_async_copy(
-            src_ref.at[pos_ref[base + i]], acc.at[i], sems.at[i]
-        ).wait()
+        @pl.when(valid_ref[base + i] == 1)
+        def _():
+            pltpu.make_async_copy(
+                src_ref.at[pos_ref[base + i]],
+                acc.at[i % fanout, i // fanout],
+                sems.at[i % fanout, i // fanout],
+            ).wait()
         return 0
 
     jax.lax.fori_loop(0, tile * fanout, wait, 0)
 
-    d = out_ref.shape[1]
-    rows = acc[:].reshape(tile, fanout, d)
-    dst_base = pl.program_id(0) * tile
-    scale = cnt_ref[pl.ds(dst_base * fanout, tile * fanout)].reshape(
-        tile, fanout, 1
-    )
-    out_ref[:] = jnp.sum(rows * scale, axis=1)
+    total = acc[0]
+    for k in range(1, fanout):
+        total = total + acc[k]
+    out_ref[:] = total
 
 
 @functools.partial(jax.jit, static_argnames=("fanout", "tile", "interpret"))
@@ -132,28 +144,27 @@ def gather_mean_pallas(src: jax.Array, neigh_pos: jax.Array,
         neigh_mask = jnp.concatenate(
             [neigh_mask, jnp.zeros((pad, fanout), neigh_mask.dtype)])
     m = neigh_pos.shape[0]
-    count = jnp.maximum(jnp.sum(neigh_mask, axis=1, keepdims=True), 1)
-    # per-slot scale: mask/count, flattened alongside positions
-    scale = (neigh_mask.astype(src.dtype) / count.astype(src.dtype)).reshape(-1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(m // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # scale (full)
             pl.BlockSpec(memory_space=pltpu.ANY),    # src rows in HBM
         ],
         out_specs=pl.BlockSpec(
-            (tile, d), lambda i, pos: (i, 0), memory_space=pltpu.VMEM
+            (tile, d), lambda i, pos, valid: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile * fanout, d), src.dtype),
-            pltpu.SemaphoreType.DMA((tile * fanout,)),
+            pltpu.VMEM((fanout, tile, d), src.dtype),
+            pltpu.SemaphoreType.DMA((fanout, tile)),
         ],
     )
-    out = pl.pallas_call(
-        _gather_mean_kernel,
+    summed = pl.pallas_call(
+        _gather_sum_kernel,
         out_shape=jax.ShapeDtypeStruct((m, d), src.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(neigh_pos.reshape(-1).astype(jnp.int32), scale, src)
+    )(neigh_pos.reshape(-1).astype(jnp.int32),
+      neigh_mask.reshape(-1).astype(jnp.int32), src)
+    count = jnp.maximum(jnp.sum(neigh_mask, axis=1, keepdims=True), 1)
+    out = summed / count.astype(src.dtype)
     return out[:n]
