@@ -77,6 +77,9 @@ class CacheConfig:
     hbm_reserve_bytes: int = 1 << 30  # headroom kept free (reference keeps 1 GiB, storage.py:81)
     rank_by: str = "out_degree"       # out_degree | in_degree | access_freq
     track_stats: bool = True
+    dtype: str = "float32"            # feature storage dtype; "bfloat16"
+                                      # halves cache HBM, miss-path H2D and
+                                      # ICI halo traffic (compute stays f32)
 
 
 @dataclasses.dataclass

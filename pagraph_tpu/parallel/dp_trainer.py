@@ -83,7 +83,8 @@ class DataParallelTrainer:
             for s in self.samplers:
                 s.set_caps(self.caps)
         self.caches = [
-            FeatureCache(store, field_names, p.graph, p.local2full)
+            FeatureCache(store, field_names, p.graph, p.local2full,
+                         dtype=cfg.cache.dtype)
             for p in self.parts
         ]
         self.state, self._tx = create_state(cfg, seed=seed)
@@ -110,6 +111,9 @@ class DataParallelTrainer:
 
         n = self.store.num_nodes
         fused = self.store.gather(field_names, np.arange(n, dtype=np.int64))
+        if self.cfg.cache.dtype == "bfloat16":
+            import ml_dtypes
+            fused = fused.astype(ml_dtypes.bfloat16)
         stack, shard_rows = shard_features(fused, self.mesh.devices.size)
         self._feat_shards = jax.device_put(stack, self._dp)
         cap0 = self.caps[0]

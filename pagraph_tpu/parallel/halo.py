@@ -39,7 +39,7 @@ def shard_features(features: np.ndarray, num_shards: int
     Returns (stacked [P, shard_rows, D], shard_rows), zero-padded tail."""
     n, d = features.shape
     shard_rows = -(-n // num_shards)
-    padded = np.zeros((num_shards * shard_rows, d), dtype=np.float32)
+    padded = np.zeros((num_shards * shard_rows, d), dtype=features.dtype)
     padded[:n] = features
     return padded.reshape(num_shards, shard_rows, d), shard_rows
 

@@ -66,6 +66,7 @@ def make_dp_train_step(
             )
         else:
             fused = assemble_features(cache_values, plan)
+        fused = fused.astype(jnp.float32)
         feats = fused[:, feat_slice]
 
         def loss_fn(params):
@@ -136,7 +137,7 @@ def make_dp_halo_train_step(
         rng, sub = jax.random.split(state.rng)
         sub = jax.random.fold_in(sub, my_rank)
 
-        fused = exchange_features(feat_shard[0], plan, axis)
+        fused = exchange_features(feat_shard[0], plan, axis).astype(jnp.float32)
         feats = fused[:, feat_slice]
 
         def loss_fn(params):

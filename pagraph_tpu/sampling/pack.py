@@ -148,7 +148,7 @@ def pack(mb: MiniBatch, plan: FetchPlan, layout: BatchLayout
         put_u8(plan.hit_mask)
     assert at == layout.u8_size
 
-    f32 = np.asarray(plan.miss_feats, dtype=np.float32)
+    f32 = np.asarray(plan.miss_feats)   # f32 or bf16 (cache dtype)
     assert f32.shape == (layout.bucket, layout.total_dim), (
         f32.shape, layout.bucket, layout.total_dim)
     return i32, u8, f32

@@ -97,7 +97,13 @@ class FeatureCache:
         local2full: Optional[np.ndarray] = None,
         *,
         device: Optional[jax.Device] = None,
+        dtype: str = "float32",
     ):
+        import ml_dtypes
+        self.np_dtype = (
+            np.dtype(ml_dtypes.bfloat16) if dtype == "bfloat16"
+            else np.dtype(np.float32)
+        )
         self.store = store
         self.field_names = list(field_names)
         self.graph = local_graph
@@ -151,7 +157,10 @@ class FeatureCache:
         self.capacity = capacity
         self.fully_cached = capacity >= n
         if capacity == 0:
-            self.cache_values = jnp.zeros((1, self.total_dim), dtype=jnp.float32)
+            self.cache_values = jnp.zeros(
+                (1, self.total_dim),
+                dtype=jnp.bfloat16 if self.np_dtype.itemsize == 2 else jnp.float32,
+            )
             self.cache_map[:] = -1
             self._sync_map_dev()
             return
@@ -162,6 +171,8 @@ class FeatureCache:
         self.cache_map[:] = -1
         self.cache_map[chosen] = np.arange(len(chosen), dtype=np.int32)
         host_rows = self.store.gather(self.field_names, self.local2full[chosen])
+        if host_rows.dtype != self.np_dtype:
+            host_rows = host_rows.astype(self.np_dtype)
         arr = jnp.asarray(host_rows)
         if self.device is not None:
             arr = jax.device_put(arr, self.device)
@@ -199,16 +210,21 @@ class FeatureCache:
                 self.try_num += int(mask.sum())
                 self.miss_num += n_miss
         bucket = bucket_size(n_miss, cap0)
-        miss_feats = np.zeros((bucket, self.total_dim), dtype=np.float32)
+        miss_feats = np.zeros((bucket, self.total_dim), dtype=self.np_dtype)
         miss_slot = np.zeros(cap0, dtype=np.int32)
         if n_miss:
             miss_idx = np.nonzero(miss)[0]
             miss_slot[miss_idx] = np.arange(n_miss, dtype=np.int32)
-            self.store.gather(
-                self.field_names,
-                self.local2full[nids[miss_idx]],
-                out=miss_feats[:n_miss],
-            )
+            if self.np_dtype == np.float32:
+                self.store.gather(
+                    self.field_names,
+                    self.local2full[nids[miss_idx]],
+                    out=miss_feats[:n_miss],
+                )
+            else:
+                miss_feats[:n_miss] = self.store.gather(
+                    self.field_names, self.local2full[nids[miss_idx]]
+                )
         plan = FetchPlan(
             hit_mask=hit,
             cache_pos=np.where(hit, pos, 0).astype(np.int32),

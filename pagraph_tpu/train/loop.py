@@ -62,7 +62,8 @@ class Trainer:
         if cfg.model.arch == "graphsage" and cfg.model.preprocess:
             field_names.append("neigh")
         self.cache = FeatureCache(
-            store, field_names, local_graph, local2full, device=device
+            store, field_names, local_graph, local2full, device=device,
+            dtype=cfg.cache.dtype,
         )
         if cfg.train.remote_sampling:
             # isolation mode: sampling in worker processes (reference's

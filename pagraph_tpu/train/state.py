@@ -101,6 +101,7 @@ def make_packed_train_step(cfg: Config, tx: optax.GradientTransformation,
             )
         else:
             fused = assemble_features(cache_values, plan)
+        fused = fused.astype(jnp.float32)
         feats = fused[:, feat_slice]
 
         def loss_fn(params):
@@ -151,7 +152,7 @@ def make_multistep_train_step(cfg: Config, tx: optax.GradientTransformation,
             rng, sub = jax.random.split(state.rng)
             fused = assemble_features_from_map(
                 cache_values, cache_map, mb.input_nids, mb.input_mask, f32_k
-            )
+            ).astype(jnp.float32)
             feats = fused[:, feat_slice]
 
             def loss_fn(params):
