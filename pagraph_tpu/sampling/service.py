@@ -246,7 +246,17 @@ class SampleService:
             submitted += 1
         received = 0
         while received < len(chunks):
-            slot_id, _ = done_q.get()
+            # liveness-checked wait: the reference blocks forever if a
+            # sampler process dies (SURVEY.md §5 failure-detection gap)
+            while True:
+                try:
+                    slot_id, _ = done_q.get(timeout=5.0)
+                    break
+                except queue_mod.Empty:
+                    if not any(w.is_alive() for w in self.workers):
+                        raise RuntimeError(
+                            "all sampling workers died; check worker stderr"
+                        )
             received += 1
             yield self._decode(slot_id)
             # slot free again only after the consumer moved on

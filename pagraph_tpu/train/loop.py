@@ -184,8 +184,9 @@ class Trainer:
                 return (jax.device_put(x, self.device)
                         if self.device is not None else jnp.asarray(x))
 
-            def flush(group):
-                nonlocal acc_buf
+            def transfer(group):
+                """Stack + H2D one group (runs on the transfer thread so it
+                overlaps the previous group's dispatch/compute)."""
                 layout0 = group[0][0]
                 max_bucket = max(g[0].bucket for g in group)
                 layout = _dc.replace(layout0, bucket=max_bucket)
@@ -196,9 +197,14 @@ class Trainer:
                     if g[3].shape[0] < max_bucket else g[3]
                     for g in group
                 ]) if max_bucket else np.zeros(
-                    (len(group), 0, layout.total_dim), np.float32)
+                    (len(group), 0, layout.total_dim),
+                    group[0][3].dtype)
                 with self.timers.scope("h2d"):
-                    i32d, u8d, f32d = put(i32), put(u8), put(f32)
+                    return layout, put(i32), put(u8), put(f32)
+
+            def dispatch(t):
+                nonlocal acc_buf
+                layout, i32d, u8d, f32d = t
                 with self.timers.scope("step"):
                     self.state, acc_buf = self.multistep_fn(
                         layout, self.state, acc_buf, i32d, u8d, f32d,
@@ -206,15 +212,17 @@ class Trainer:
                     )
 
             if K > 1:
+                # device_put is async: transfer + dispatch inline already
+                # pipelines against device compute of the previous group
                 group = []
                 for item in self.loader.epoch():
                     group.append(item)
                     nb += 1
                     if len(group) == K:
-                        flush(group)
+                        dispatch(transfer(group))
                         group = []
                 if group:
-                    flush(group)
+                    dispatch(transfer(group))
             else:
                 for layout, i32, u8, f32 in self.loader.epoch():
                     with self.timers.scope("step"):
