@@ -127,6 +127,10 @@ class FeatureCache:
         self.miss_num = 0
         import threading
         self._stat_lock = threading.Lock()
+        # per-vertex access frequency (for rank_by='access_freq' refills —
+        # the reference's opt_cache_hit.py oracle, made an online policy)
+        self.track_access = False
+        self.access_counts = np.zeros(n, dtype=np.int64)
 
     # -- fill ---------------------------------------------------------------
 
@@ -135,6 +139,11 @@ class FeatureCache:
             score = self.graph.out_degrees
         elif rank_by == "in_degree":
             score = self.graph.in_degrees
+        elif rank_by == "access_freq":
+            # observed access counts (fall back to out-degree before any
+            # tracked epoch has run)
+            score = (self.access_counts
+                     if self.access_counts.any() else self.graph.out_degrees)
         else:
             raise ValueError(f"unknown rank_by {rank_by!r}")
         return np.argsort(-score, kind="stable")
@@ -209,6 +218,8 @@ class FeatureCache:
             with self._stat_lock:
                 self.try_num += int(mask.sum())
                 self.miss_num += n_miss
+                if self.track_access:
+                    np.add.at(self.access_counts, nids[mask], 1)
         bucket = bucket_size(n_miss, cap0)
         miss_feats = np.zeros((bucket, self.total_dim), dtype=self.np_dtype)
         miss_slot = np.zeros(cap0, dtype=np.int32)

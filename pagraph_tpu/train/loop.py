@@ -65,6 +65,8 @@ class Trainer:
             store, field_names, local_graph, local2full, device=device,
             dtype=cfg.cache.dtype,
         )
+        if cfg.cache.rank_by == "access_freq":
+            self.cache.track_access = True
         if cfg.train.remote_sampling:
             # isolation mode: sampling in worker processes (reference's
             # pa_iso / SampleDeliver path, dataloader.py:68-181)
@@ -237,6 +239,13 @@ class Trainer:
         if self._is_cv:
             with self.timers.scope("cv-refresh"):
                 self.cv_history.refresh_agg()
+        if (epoch == 0 and self.cfg.cache.enabled
+                and self.cfg.cache.rank_by == "access_freq"
+                and not self.cache.fully_cached):
+            # refill by observed access frequency after the probe epoch
+            # (online version of the reference's oracle, opt_cache_hit.py)
+            self.cache.fill(capacity=self.cfg.cache.capacity,
+                            rank_by="access_freq")
         em = EpochMetrics(
             epoch=epoch,
             mean_loss=tot_loss / max(nb, 1),
