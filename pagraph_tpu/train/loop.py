@@ -264,10 +264,31 @@ class Trainer:
             )
         return em
 
-    def train(self, epochs: Optional[int] = None) -> Dict:
+    def resume(self, epoch: Optional[int] = None) -> int:
+        """Restore train state from the newest (or given) checkpoint in
+        ``cfg.train.ckpt_dir``; returns the epoch to continue from.  (The
+        reference consumes checkpoints for eval only and cannot resume,
+        SURVEY.md §5.)"""
+        from .checkpoint import list_checkpoints, restore_checkpoint
+
+        tc = self.cfg.train
+        if not tc.ckpt_dir:
+            raise ValueError("cfg.train.ckpt_dir is not set")
+        have = list_checkpoints(tc.ckpt_dir, self.cfg.model.arch)
+        if not have:
+            return 0
+        epoch = have[-1] if epoch is None else epoch
+        self.state = restore_checkpoint(
+            tc.ckpt_dir, self.cfg.model.arch, epoch, jax.device_get(self.state)
+        )
+        if self.device is not None:
+            self.state = jax.device_put(self.state, self.device)
+        return epoch + 1
+
+    def train(self, epochs: Optional[int] = None, *, start_epoch: int = 0) -> Dict:
         epochs = epochs or self.cfg.train.epochs
         tc = self.cfg.train
-        for e in range(epochs):
+        for e in range(start_epoch, epochs):
             self.run_epoch(e)
             if tc.ckpt_dir and tc.ckpt_every and (e + 1) % tc.ckpt_every == 0:
                 from .checkpoint import save_checkpoint

@@ -63,6 +63,34 @@ def tune_host_allocator(warm_bytes: int = 0, threads: int = 4) -> None:
     del buf  # pages stay in the heap arena, warm
 
 
+def parallel_random(shape, *, dtype="float32", seed: int = 0,
+                    threads: int = 4):
+    """Multi-threaded uniform random fill.
+
+    On this host, generating tens of GB with one thread is dominated by
+    first-touch page faults (~20 MB/s); independent per-chunk PCG streams
+    across threads parallelize both the fault and the generation."""
+    import concurrent.futures as cf
+
+    import numpy as np
+
+    out = np.empty(shape, dtype=dtype)
+    flat = out.reshape(-1)
+    n = flat.size
+    chunk = (n + threads - 1) // threads
+
+    def fill(i):
+        rng = np.random.default_rng(np.random.SeedSequence((seed, i)))
+        lo = i * chunk
+        hi = min(n, lo + chunk)
+        if lo < hi:
+            rng.random(out=flat[lo:hi], dtype=out.dtype)
+
+    with cf.ThreadPoolExecutor(threads) as ex:
+        list(ex.map(fill, range(threads)))
+    return out
+
+
 def enable_compilation_cache(path: str = _DEFAULT_CACHE_DIR) -> None:
     """Persist compiled executables across processes (first TPU compile can
     be tens of seconds; every CLI should call this)."""

@@ -115,3 +115,24 @@ def test_checkpoint_roundtrip_and_replay(tmp_path, learn_ds):
     )
     assert set(results) == {0, 1, 2}
     assert all(0.0 <= v <= 1.0 for v in results.values())
+
+
+def test_trainer_resume(tmp_path, learn_ds):
+    """Crash/resume: a run resumed from epoch-1's checkpoint continues with
+    the saved params (same step counter, finite training)."""
+    ckpt_dir = str(tmp_path / "ck")
+    cfg = pg.Config(
+        model=_mcfg("gcn"),
+        sampler=pg.SamplerConfig(batch_size=128, fanout=2, num_hops=2),
+        train=pg.TrainConfig(lr=1e-2, ckpt_dir=ckpt_dir, ckpt_every=1),
+    )
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(2)
+    saved_step = int(jax.device_get(tr.state).step)
+    tr2 = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    start = tr2.resume()
+    assert start == 2
+    assert int(jax.device_get(tr2.state).step) == saved_step
+    tr2.train(3, start_epoch=start)
+    assert tr2.epoch_metrics[-1].epoch == 2
+    assert np.isfinite(tr2.epoch_metrics[-1].mean_loss)
