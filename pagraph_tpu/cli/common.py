@@ -50,6 +50,12 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ckpt-dir", type=str, default=None)
     p.add_argument("--ckpt-every", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--isolate", action="store_true",
+                   help="isolation mode: sampling in worker processes "
+                        "(reference pa_iso.py)")
+    p.add_argument("--on-device", action="store_true",
+                   help="sample on the TPU inside jit; one dispatch per "
+                        "epoch (needs graph + features in HBM)")
 
 
 def add_partition_flags(p: argparse.ArgumentParser) -> None:
@@ -96,6 +102,8 @@ def build_config(args, *, feat_dim: int, n_classes: int) -> pg.Config:
             log_every=args.log_every,
             ckpt_dir=args.ckpt_dir,
             ckpt_every=args.ckpt_every,
+            remote_sampling=getattr(args, "isolate", False),
+            on_device_sampling=getattr(args, "on_device", False),
         ),
     )
     return cfg

@@ -99,6 +99,9 @@ class TrainConfig:
     ckpt_dir: Optional[str] = None
     ckpt_every: int = 0               # epochs between checkpoints; 0 = off
     remote_sampling: bool = False     # isolation mode: sampling in worker procs
+    on_device_sampling: bool = False  # sample inside jit; whole epoch = one
+                                      # dispatch (needs graph + full feature
+                                      # cache in HBM; see train/device_epoch.py)
     steps_per_dispatch: int = 8       # K batches per compiled call (lax.scan)
     dtype: str = "float32"            # compute dtype for activations
 
@@ -134,6 +137,24 @@ class Config:
             )
         if self.partition.num_hops < 1:
             raise ValueError("partition.num_hops must be >= 1")
+        t = self.train
+        if t.on_device_sampling:
+            if t.remote_sampling:
+                raise ValueError(
+                    "on_device_sampling and remote_sampling are exclusive"
+                )
+            if m.arch == "gcn_cv":
+                raise ValueError(
+                    "gcn_cv keeps host-side history state; "
+                    "on_device_sampling is not supported"
+                )
+            if not self.cache.enabled:
+                raise ValueError(
+                    "on_device_sampling requires cache.enabled (the full "
+                    "feature set must live in HBM)"
+                )
+            if not s.include_self:
+                raise ValueError("on_device_sampling requires include_self")
 
     def sync_hops(self) -> "Config":
         """Derive sampler/partition hops from the model (the safe default)."""

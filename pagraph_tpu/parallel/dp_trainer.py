@@ -65,23 +65,30 @@ class DataParallelTrainer:
         if cfg.model.arch == "graphsage" and cfg.model.preprocess:
             field_names.append("neigh")
 
+        self._device_mode = cfg.train.on_device_sampling
+        if self._device_mode and feature_source == "ici":
+            raise ValueError(
+                "on_device_sampling samples from per-chip self-reliant "
+                "partitions; combine it with feature_source='cache'"
+            )
         # Per-device samplers share layer capacities sized for the LARGEST
         # partition so the stacked pytrees are uniform.
         max_nodes = max(p.num_nodes for p in self.parts)
         self.caps = cfg.sampler.layer_capacities(max_nodes)
-        self.samplers = [
-            NeighborSampler(
-                p.graph, p.train_nids, cfg.sampler, labels=p.labels,
-                seed=seed + 31 * r, caps=self.caps,
-            )
-            for r, p in enumerate(self.parts)
-        ]
-        if cfg.sampler.auto_caps:
-            # uniform caps across chips: elementwise max of per-chip probes
-            probed = np.array([s.calibrate_caps() for s in self.samplers])
-            self.caps = tuple(int(c) for c in probed.max(axis=0))
-            for s in self.samplers:
-                s.set_caps(self.caps)
+        if not self._device_mode:
+            self.samplers = [
+                NeighborSampler(
+                    p.graph, p.train_nids, cfg.sampler, labels=p.labels,
+                    seed=seed + 31 * r, caps=self.caps,
+                )
+                for r, p in enumerate(self.parts)
+            ]
+            if cfg.sampler.auto_caps:
+                # uniform caps across chips: elementwise max of per-chip probes
+                probed = np.array([s.calibrate_caps() for s in self.samplers])
+                self.caps = tuple(int(c) for c in probed.max(axis=0))
+                for s in self.samplers:
+                    s.set_caps(self.caps)
         self.caches = [
             FeatureCache(store, field_names, p.graph, p.local2full,
                          dtype=cfg.cache.dtype)
@@ -92,7 +99,9 @@ class DataParallelTrainer:
         self._dp = dp_sharding(self.mesh)
         self._cache_stacked: Optional[jax.Array] = None
         offsets = self.caches[0].field_offsets
-        if feature_source == "ici":
+        if self._device_mode:
+            self._init_device_mode(offsets, seed)
+        elif feature_source == "ici":
             from .train_step import make_dp_halo_train_step
             self.step_fn = make_dp_halo_train_step(
                 cfg, self._tx, self.mesh,
@@ -103,6 +112,64 @@ class DataParallelTrainer:
             self.step_fn = make_dp_train_step(cfg, self._tx, self.mesh, offsets)
         self.timers = PhaseTimers()
         self.epoch_metrics: List[EpochMetrics] = []
+
+    def _init_device_mode(self, offsets, seed) -> None:
+        """Stack per-partition CSR/train-ids/labels on the dp axis and build
+        the whole-epoch on-device step (train/device_epoch.py).  Each chip
+        samples its own partition in HBM; nothing crosses the host link
+        inside an epoch."""
+        from ..train.device_epoch import make_dp_device_epoch_fn
+
+        parts = self.parts
+        D = len(parts)
+        max_n = max(p.num_nodes for p in parts)
+        max_e = max(p.graph.num_edges for p in parts)
+        max_t = max(len(p.train_nids) for p in parts)
+        if max_e >= np.iinfo(np.int32).max:
+            raise ValueError("partition edge count overflows int32")
+        indptr = np.zeros((D, max_n + 1), dtype=np.int32)
+        indices = np.zeros((D, max_e), dtype=np.int32)
+        train_nids = np.zeros((D, max_t), dtype=np.int32)
+        counts = np.zeros(D, dtype=np.int32)
+        labels = np.zeros((D, max_n), dtype=np.int32)
+        for r, p in enumerate(parts):
+            g = p.graph
+            # pad indptr with the final offset -> padded vertices have deg 0
+            indptr[r, : g.num_nodes + 1] = g.indptr
+            indptr[r, g.num_nodes + 1:] = g.num_edges
+            indices[r, : g.num_edges] = g.indices
+            counts[r] = len(p.train_nids)
+            train_nids[r, : counts[r]] = p.train_nids
+            labels[r, : len(p.labels)] = p.labels
+        put = lambda x: jax.device_put(x, self._dp)
+        self._dev_indptr = put(indptr)
+        self._dev_indices = put(indices)
+        self._dev_train_nids = put(train_nids)
+        self._dev_counts = put(counts)
+        self._dev_labels = put(labels)
+        B = self.cfg.sampler.batch_size
+        self._dev_num_batches = int(max(-(-c // B) for c in counts))
+        self.epoch_fn = make_dp_device_epoch_fn(
+            self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches
+        )
+        self._epoch_key = jax.random.PRNGKey(seed ^ 0x5EED)
+
+    def _fill_caches_device(self) -> None:
+        """Full per-partition caches, padded to a uniform [max_n, dim]."""
+        max_n = max(p.num_nodes for p in self.parts)
+        for cache in self.caches:
+            cache.fill(capacity=cache.graph.num_nodes,
+                       rank_by=self.cfg.cache.rank_by)
+            if not cache.fully_cached:
+                raise ValueError("on_device_sampling needs full per-chip caches")
+            if cache.cache_values.shape[0] < max_n:
+                pad = max_n - cache.cache_values.shape[0]
+                cache.cache_values = jnp.pad(cache.cache_values,
+                                             ((0, pad), (0, 0)))
+        stacked = np.stack([np.asarray(c.cache_values) for c in self.caches])
+        self._cache_stacked = jax.device_put(stacked, self._dp)
+        if self.log:
+            print(f"[cache] full per-chip caches, {max_n} rows each")
 
     def _init_ici_features(self, field_names) -> None:
         """Shard the full fused feature matrix across the mesh's HBM and
@@ -256,6 +323,8 @@ class DataParallelTrainer:
             yield layout, i32, u8, f32
 
     def run_epoch(self, epoch: int = 0) -> EpochMetrics:
+        if self._device_mode:
+            return self._run_epoch_on_device(epoch)
         ici = self.feature_source == "ici"
         if not ici and self._cache_stacked is None:
             self.fill_caches()
@@ -299,6 +368,39 @@ class DataParallelTrainer:
             print(
                 f"epoch {epoch}: loss={em.mean_loss:.4f} acc={em.mean_acc:.3f} "
                 f"time={em.time_s:.2f}s miss={em.miss_rate:.1%}"
+            )
+        return em
+
+    def _run_epoch_on_device(self, epoch: int) -> EpochMetrics:
+        if self._cache_stacked is None:
+            self._fill_caches_device()
+        t0 = time.perf_counter()
+        acc = jax.device_put(np.zeros(5, dtype=np.float32),
+                             replicated(self.mesh))
+        key = jax.random.fold_in(self._epoch_key, epoch)
+        with self.timers.scope("step"):
+            self.state, acc = self.epoch_fn(
+                self.state, acc, key, self._dev_train_nids, self._dev_counts,
+                self._dev_labels, self._dev_indptr, self._dev_indices,
+                self._cache_stacked,
+            )
+            vals = np.asarray(acc)
+        steps = max(int(vals[2]), 1)
+        em = EpochMetrics(
+            epoch=epoch,
+            mean_loss=float(vals[0]) / steps,
+            mean_acc=float(vals[1]) / steps,
+            time_s=time.perf_counter() - t0,
+            miss_rate=0.0,
+            num_batches=int(vals[2]),
+            edges=int(vals[3]),
+            vertices=int(vals[4]),
+        )
+        self.epoch_metrics.append(em)
+        if self.log:
+            print(
+                f"epoch {epoch}: loss={em.mean_loss:.4f} "
+                f"acc={em.mean_acc:.3f} time={em.time_s:.2f}s [on-device dp]"
             )
         return em
 

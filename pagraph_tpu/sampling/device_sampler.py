@@ -1,0 +1,139 @@
+"""On-device neighbor sampling — the fully TPU-resident hot path.
+
+The reference *must* sample on the host: DGL's NeighborSampler is C++ CPU
+code and the NodeFlow it produces is then shipped to the GPU every batch
+(reference: PaGraph/parallel/dataloader.py:118-124, examples/profile/
+pa_gcn.py:71-88).  On TPU nothing forces that split: when the CSR structure
+and the feature cache both fit in HBM, the whole epoch — shuffle, sample,
+feature gather, forward/backward, optimizer — runs inside one compiled
+function and **zero bytes cross the host link per step**.  This module is
+that sampler; :mod:`pagraph_tpu.train.device_epoch` is the epoch loop.
+
+Design notes (vs the host sampler in ``sampling/sampler.py``):
+
+  * Same per-vertex policy: in-degree ``d == 0`` -> all slots masked;
+    ``0 < d <= fanout`` -> take all ``d`` (exact); ``d > fanout`` -> uniform
+    with replacement.  Statistically identical minibatches.
+  * **No deduplication.**  ``jnp.unique`` has data-dependent output shape,
+    and sort-based compaction costs more than it saves here: dedup shrinks
+    layer 0 ~3x, but the only per-step costs that scale with layer width are
+    an HBM feature gather and the first-layer matmul — both cheap compared
+    with round-tripping the batch through the host.  Layer ``i`` is simply
+    ``concat(layer i+1, sampled neighbors)``, so the prefix-subset invariant
+    of :mod:`sampling.block` holds by construction and every produced
+    :class:`MiniBatch` is bit-compatible with the host-sampled ones.
+  * Layer shapes are exactly ``B * (fanout+1)^hop`` — static, no capacity
+    calibration needed.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import CSRGraph
+from .block import Block, MiniBatch
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceCSR:
+    """HBM-resident in-neighbor CSR (int32 — XLA gathers are fastest on i32)."""
+
+    indptr: jax.Array    # int32 [N+1]
+    indices: jax.Array   # int32 [E]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.indptr.shape[0] - 1
+
+    @classmethod
+    def from_graph(cls, graph: CSRGraph,
+                   device: Optional[jax.Device] = None) -> "DeviceCSR":
+        if graph.num_edges >= np.iinfo(np.int32).max:
+            raise ValueError(
+                f"{graph.num_edges} edges overflow int32 indptr; "
+                "on-device sampling requires < 2^31 edges per partition"
+            )
+        indptr = jnp.asarray(graph.indptr.astype(np.int32))
+        indices = jnp.asarray(graph.indices)        # already int32
+        if device is not None:
+            indptr = jax.device_put(indptr, device)
+            indices = jax.device_put(indices, device)
+        return cls(indptr=indptr, indices=indices)
+
+    def nbytes(self) -> int:
+        return 4 * (int(self.indptr.shape[0]) + int(self.indices.shape[0]))
+
+
+def sample_hop(
+    csr: DeviceCSR,
+    dst: jax.Array,        # int32 [n] vertex ids
+    dst_mask: jax.Array,   # bool  [n]
+    fanout: int,
+    key: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Sample ``fanout`` in-neighbors per dst vertex, inside jit.
+
+    Returns ``(nbr int32 [n, fanout], mask bool [n, fanout])``; masked slots
+    hold vertex 0 (excluded from aggregation by the mask).  Mirrors the host
+    sampler's ``_sample_fanout`` policy exactly.
+    """
+    n = dst.shape[0]
+    starts = jnp.take(csr.indptr, dst)
+    deg = jnp.take(csr.indptr, dst + 1) - starts
+    safe = jnp.maximum(deg, 1)
+    k = jnp.arange(fanout, dtype=jnp.int32)[None, :]
+    draws = jax.random.randint(key, (n, fanout), 0, jnp.int32(2**31 - 1),
+                               dtype=jnp.int32)
+    small = deg[:, None] <= fanout
+    offs = jnp.where(small, k % safe[:, None], draws % safe[:, None])
+    mask = jnp.where(small, k < deg[:, None], (deg > 0)[:, None])
+    mask = jnp.logical_and(mask, dst_mask[:, None])
+    nbr = jnp.take(csr.indices, starts[:, None] + offs)
+    return jnp.where(mask, nbr, 0), mask
+
+
+def sample_minibatch_device(
+    csr: DeviceCSR,
+    seeds: jax.Array,       # int32 [B] vertex ids (padded slots -> any valid id)
+    seed_mask: jax.Array,   # bool  [B]
+    num_hops: int,
+    fanout: int,
+    key: jax.Array,
+    labels: Optional[jax.Array] = None,   # int32 [N] per-vertex labels
+) -> MiniBatch:
+    """Expand ``seeds`` into a padded :class:`MiniBatch`, fully on device.
+
+    Layer ``i`` = ``concat(layer i+1 ids, layer i+1's sampled neighbors)``,
+    so layer widths are ``B * (fanout+1)^(num_hops-i)`` and the inner layer
+    is a prefix of the outer one (the invariant every model relies on).
+    """
+    keys = jax.random.split(key, num_hops)
+    layers = [(seeds.astype(jnp.int32), seed_mask)]
+    blocks_rev = []
+    cur, curm = layers[0]
+    for hop in range(num_hops):
+        nbr, emask = sample_hop(csr, cur, curm, fanout, keys[hop])
+        n = cur.shape[0]
+        blocks_rev.append(Block(
+            neigh_pos=(n + jnp.arange(n * fanout, dtype=jnp.int32)
+                       ).reshape(n, fanout),
+            neigh_mask=emask,
+            self_pos=jnp.arange(n, dtype=jnp.int32),
+        ))
+        cur = jnp.concatenate([cur, nbr.reshape(-1)])
+        curm = jnp.concatenate([curm, emask.reshape(-1)])
+        layers.append((cur, curm))
+    layers.reverse()
+    lab = (jnp.take(labels, seeds) if labels is not None
+           else jnp.zeros(seeds.shape, jnp.int32))
+    return MiniBatch(
+        layer_nids=tuple(ids for ids, _ in layers),
+        layer_mask=tuple(m for _, m in layers),
+        blocks=tuple(reversed(blocks_rev)),
+        labels=lab,
+    )

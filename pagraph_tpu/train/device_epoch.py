@@ -1,0 +1,246 @@
+"""Whole-epoch on-device training: shuffle + sample + train in ONE dispatch.
+
+The reference's hot loop crosses the host/device boundary every minibatch —
+C++ sampling, feature fetch, H2D copy, kernel launch (reference:
+examples/profile/pa_gcn.py:82-109).  Here, when the CSR structure and the
+full feature cache are HBM-resident, an *entire epoch* is a single compiled
+call: the train-vertex permutation is drawn with ``jax.random`` on device, a
+``lax.scan`` runs every minibatch (on-device sampling via
+:mod:`pagraph_tpu.sampling.device_sampler`, feature gather straight from the
+cache, forward/backward, Adam), and only a ~5-float metrics vector returns
+to the host per epoch.
+
+This is the end state of the perf playbook: the packed/multistep path
+(train/state.py) amortizes host dispatches K-fold; this path removes them.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models import get_model
+from ..sampling.device_sampler import DeviceCSR, sample_minibatch_device
+from .objective import masked_accuracy, masked_cross_entropy
+from .state import TrainState
+
+# metrics accumulator layout (float32[5])
+METRIC_NAMES = ("loss_sum", "acc_sum", "steps", "edges", "vertices")
+
+
+def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
+                         field_offsets: dict) -> Callable:
+    """Build the jitted epoch function.
+
+    Signature::
+
+        epoch_fn(state, metrics_acc, epoch_key, train_nids, labels,
+                 csr, cache_values) -> (state, metrics_acc)
+
+    ``train_nids`` int32 [n_train] (device), ``labels`` int32 [N] per-vertex,
+    ``csr`` a :class:`DeviceCSR`, ``cache_values`` the fully-cached
+    ``[N, total_dim]`` feature block (identity residency map).  The number of
+    minibatches is ``ceil(n_train / batch_size)``; the tail batch is padded
+    by wrapping the permutation, with padded seeds masked out of sampling,
+    loss and metrics.
+    """
+    _, apply_fn = get_model(cfg.model)
+    sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
+    feat_slice = field_offsets["features"]
+    neigh_slice = field_offsets.get("neigh")
+    B = cfg.sampler.batch_size
+    hops = cfg.sampler.num_hops
+    fanout = cfg.sampler.fanout
+    if not cfg.sampler.include_self:
+        raise ValueError("on-device sampling requires include_self=True")
+
+    @partial(jax.jit, donate_argnames=("state", "metrics_acc"))
+    def epoch_fn(state: TrainState, metrics_acc: jax.Array,
+                 epoch_key: jax.Array, train_nids: jax.Array,
+                 labels: jax.Array, csr: DeviceCSR,
+                 cache_values: jax.Array):
+        n_train = train_nids.shape[0]
+        num_batches = -(-n_train // B)
+        total = num_batches * B
+        perm_key, sample_key = jax.random.split(epoch_key)
+        perm = jax.random.permutation(perm_key, n_train)
+        idx = jnp.arange(total, dtype=jnp.int32)
+        seeds_all = jnp.take(train_nids, jnp.take(perm, idx % n_train)
+                             ).reshape(num_batches, B)
+        seed_mask_all = (idx < n_train).reshape(num_batches, B)
+        step_keys = jax.random.split(sample_key, num_batches)
+
+        def one(carry, xs):
+            state, acc = carry
+            seeds, smask, skey = xs
+            mb = sample_minibatch_device(
+                csr, seeds, smask, hops, fanout, skey, labels=labels
+            )
+            rng, sub = jax.random.split(state.rng)
+            fused = jnp.take(cache_values, mb.input_nids, axis=0
+                             ).astype(jnp.float32)
+            feats = fused[:, feat_slice]
+
+            def loss_fn(params):
+                kwargs = dict(train=True, dropout_rng=sub)
+                if sage_pre:
+                    kwargs["neigh_feats"] = fused[:, neigh_slice]
+                logits = apply_fn(params, cfg.model, mb, feats, **kwargs)
+                loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
+                return loss, logits
+
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            acc_v = masked_accuracy(logits, mb.labels, mb.seed_mask)
+            edges = sum(b.neigh_mask.sum() for b in mb.blocks)
+            verts = sum(m.sum() for m in mb.layer_mask)
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   step=state.step + 1, rng=rng)
+            new_acc = acc + jnp.stack([
+                loss, acc_v, jnp.ones((), loss.dtype),
+                edges.astype(jnp.float32), verts.astype(jnp.float32),
+            ])
+            return (new_state, new_acc), None
+
+        (state, metrics_acc), _ = jax.lax.scan(
+            one, (state, metrics_acc), (seeds_all, seed_mask_all, step_keys)
+        )
+        return state, metrics_acc
+
+    return epoch_fn
+
+
+def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
+                            mesh, field_offsets: dict, num_batches: int,
+                            axis: str = "dp") -> Callable:
+    """Multi-chip whole-epoch on-device training.
+
+    Each mesh coordinate owns one self-reliant partition: its CSR, full
+    feature cache, train ids and labels live in that chip's HBM, stacked on a
+    leading device axis.  Inside ``shard_map`` every chip shuffles and
+    samples its own partition per step and gradients are ``pmean``-ed over
+    ICI — the reference's whole process topology (sampler procs + shared-mem
+    store + DDP, SURVEY.md §1) collapses into one compiled call per epoch.
+
+    ``num_batches`` is the lockstep step count, ``max_r ceil(n_train_r/B)``;
+    chips with fewer train vertices wrap around their permutation (the
+    reference's "make-up" sends, parallel/dataloader.py:138-143).
+
+    Signature (all array args stacked [D, ...], sharded over ``axis``;
+    ``state``/``metrics_acc``/``epoch_key`` replicated)::
+
+        epoch_fn(state, metrics_acc, epoch_key, train_nids, train_counts,
+                 labels, indptr, indices, cache_values) -> (state, acc)
+    """
+    from functools import partial as _partial
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    _, apply_fn = get_model(cfg.model)
+    sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
+    feat_slice = field_offsets["features"]
+    neigh_slice = field_offsets.get("neigh")
+    B = cfg.sampler.batch_size
+    hops = cfg.sampler.num_hops
+    fanout = cfg.sampler.fanout
+    if not cfg.sampler.include_self:
+        raise ValueError("on-device sampling requires include_self=True")
+
+    def per_device_epoch(state: TrainState, metrics_acc: jax.Array,
+                         epoch_key: jax.Array, train_nids: jax.Array,
+                         train_count: jax.Array, labels: jax.Array,
+                         indptr: jax.Array, indices: jax.Array,
+                         cache_values: jax.Array):
+        # drop the size-1 leading device axis inside the shard
+        train_nids, train_count = train_nids[0], train_count[0]
+        labels, cache_values = labels[0], cache_values[0]
+        csr = DeviceCSR(indptr=indptr[0], indices=indices[0])
+        rank = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(epoch_key, rank)
+        perm_key, sample_key = jax.random.split(key)
+        # permute the VALID prefix of the padded train-id vector: invalid
+        # slots get +inf sort keys, so valid ids land in a random order at
+        # the front
+        max_train = train_nids.shape[0]
+        u = jax.random.uniform(perm_key, (max_train,))
+        u = jnp.where(jnp.arange(max_train) < train_count, u, jnp.inf)
+        perm = jnp.argsort(u)
+        idx = jnp.arange(num_batches * B, dtype=jnp.int32)
+        wrapped = jnp.take(perm, idx % jnp.maximum(train_count, 1))
+        seeds_all = jnp.take(train_nids, wrapped).reshape(num_batches, B)
+        # wrap-around make-up seeds stay VALID (they are real training
+        # batches, as in the reference); only chips with zero train
+        # vertices mask everything
+        seed_mask_all = jnp.broadcast_to(
+            train_count > 0, (num_batches * B,)
+        ).reshape(num_batches, B)
+        step_keys = jax.random.split(sample_key, num_batches)
+
+        def one(carry, xs):
+            state, acc = carry
+            seeds, smask, skey = xs
+            mb = sample_minibatch_device(
+                csr, seeds, smask, hops, fanout, skey, labels=labels
+            )
+            rng, sub = jax.random.split(state.rng)
+            sub = jax.random.fold_in(sub, rank)
+            fused = jnp.take(cache_values, mb.input_nids, axis=0
+                             ).astype(jnp.float32)
+            feats = fused[:, feat_slice]
+
+            def loss_fn(params):
+                kwargs = dict(train=True, dropout_rng=sub)
+                if sage_pre:
+                    kwargs["neigh_feats"] = fused[:, neigh_slice]
+                logits = apply_fn(params, cfg.model, mb, feats, **kwargs)
+                loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
+                return loss, logits
+
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            grads = jax.lax.pmean(grads, axis)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            acc_v = masked_accuracy(logits, mb.labels, mb.seed_mask)
+            edges = sum(b.neigh_mask.sum() for b in mb.blocks)
+            verts = sum(m.sum() for m in mb.layer_mask)
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   step=state.step + 1, rng=rng)
+            new_acc = acc + jnp.stack([
+                jax.lax.pmean(loss, axis),
+                jax.lax.pmean(acc_v, axis),
+                jnp.ones((), loss.dtype),
+                jax.lax.psum(edges.astype(jnp.float32), axis),
+                jax.lax.psum(verts.astype(jnp.float32), axis),
+            ])
+            return (new_state, new_acc), None
+
+        (state, metrics_acc), _ = jax.lax.scan(
+            one, (state, metrics_acc),
+            (seeds_all, seed_mask_all, step_keys),
+        )
+        return state, metrics_acc
+
+    def epoch(state, metrics_acc, epoch_key, train_nids, train_counts,
+              labels, indptr, indices, cache_values):
+        fn = shard_map(
+            per_device_epoch,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(state, metrics_acc, epoch_key, train_nids, train_counts,
+                  labels, indptr, indices, cache_values)
+
+    return jax.jit(epoch, donate_argnames=("state", "metrics_acc"))

@@ -67,6 +67,36 @@ class Trainer:
         )
         if cfg.cache.rank_by == "access_freq":
             self.cache.track_access = True
+        self._device_mode = cfg.train.on_device_sampling
+        if self._device_mode:
+            # Whole-epoch on-device path (train/device_epoch.py): the CSR and
+            # the full feature cache live in HBM; no host sampler/loader at
+            # all.  Nothing crosses the host link inside an epoch.
+            import jax.numpy as jnp
+
+            from ..sampling.device_sampler import DeviceCSR
+            from .device_epoch import make_device_epoch_fn
+
+            def put(x):
+                return jax.device_put(x, device) if device else jnp.asarray(x)
+
+            self._dev_csr = DeviceCSR.from_graph(local_graph, device)
+            self._dev_train_nids = put(train_nids.astype(np.int32))
+            self._dev_labels = put(np.asarray(labels, dtype=np.int32))
+            self.sampler = None
+            self.loader = None
+            self.state, self._tx = create_state(cfg, seed=seed)
+            if device is not None:
+                self.state = jax.device_put(self.state, device)
+            self.epoch_fn = make_device_epoch_fn(
+                cfg, self._tx, self.cache.field_offsets
+            )
+            self._epoch_key = jax.random.PRNGKey(seed ^ 0x5EED)
+            self._is_cv = False
+            self.timers = PhaseTimers()
+            self._cache_filled = False
+            self.epoch_metrics: List[EpochMetrics] = []
+            return
         if cfg.train.remote_sampling:
             # isolation mode: sampling in worker processes (reference's
             # pa_iso / SampleDeliver path, dataloader.py:68-181)
@@ -140,7 +170,16 @@ class Trainer:
             return
         c = self.cfg.cache
         cap = 0 if not c.enabled else c.capacity
+        if self._device_mode:
+            cap = self.cache.graph.num_nodes if cap is None else cap
         self.cache.fill(capacity=cap, rank_by=c.rank_by)
+        if self._device_mode and not self.cache.fully_cached:
+            raise ValueError(
+                f"on_device_sampling needs the full feature set in HBM: "
+                f"capacity {self.cache.capacity} < "
+                f"{self.cache.graph.num_nodes} vertices. Lower feat_dim, "
+                f"use cache.dtype='bfloat16', or partition across chips."
+            )
         self._cache_filled = True
         if self.log:
             print(
@@ -149,6 +188,8 @@ class Trainer:
             )
 
     def run_epoch(self, epoch: int = 0) -> EpochMetrics:
+        if self._device_mode:
+            return self._run_epoch_on_device(epoch)
         t_epoch = time.perf_counter()
         self.cache.reset_stats()
         tot_loss = tot_acc = 0.0
@@ -261,6 +302,42 @@ class Trainer:
             print(
                 f"epoch {epoch}: loss={em.mean_loss:.4f} acc={em.mean_acc:.3f} "
                 f"time={em.time_s:.2f}s miss={em.miss_rate:.1%}"
+            )
+        return em
+
+    def _run_epoch_on_device(self, epoch: int) -> EpochMetrics:
+        """One compiled call per epoch; only a 5-float metrics vector and the
+        epoch PRNG key cross the host link."""
+        import jax.numpy as jnp
+
+        t_epoch = time.perf_counter()
+        self._maybe_fill_cache()
+        acc = jnp.zeros(5, dtype=jnp.float32)
+        if self.device is not None:
+            acc = jax.device_put(acc, self.device)
+        key = jax.random.fold_in(self._epoch_key, epoch)
+        with self.timers.scope("step"):
+            self.state, acc = self.epoch_fn(
+                self.state, acc, key, self._dev_train_nids,
+                self._dev_labels, self._dev_csr, self.cache.cache_values,
+            )
+            vals = np.asarray(acc)          # device sync = epoch boundary
+        steps = max(int(vals[2]), 1)
+        em = EpochMetrics(
+            epoch=epoch,
+            mean_loss=float(vals[0]) / steps,
+            mean_acc=float(vals[1]) / steps,
+            time_s=time.perf_counter() - t_epoch,
+            miss_rate=0.0,                  # fully cached by construction
+            num_batches=int(vals[2]),
+            edges=int(vals[3]),
+            vertices=int(vals[4]),
+        )
+        self.epoch_metrics.append(em)
+        if self.log:
+            print(
+                f"epoch {epoch}: loss={em.mean_loss:.4f} "
+                f"acc={em.mean_acc:.3f} time={em.time_s:.2f}s [on-device]"
             )
         return em
 

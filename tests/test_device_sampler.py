@@ -1,0 +1,211 @@
+"""On-device sampler + whole-epoch on-device training path."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import pagraph_tpu as pg
+from pagraph_tpu.data.synthetic import synthetic_dataset
+from pagraph_tpu.sampling.device_sampler import (
+    DeviceCSR, sample_hop, sample_minibatch_device,
+)
+from pagraph_tpu.train.loop import Trainer
+
+
+@pytest.fixture(scope="module")
+def learn_ds():
+    return synthetic_dataset(
+        num_nodes=800, num_edges=6000, feat_dim=32, num_classes=6,
+        seed=5, learnable=True,
+    )
+
+
+def _cfg(arch="gcn", **model_kw):
+    m = pg.ModelConfig(arch=arch, n_layers=1, hidden=24, feat_dim=32,
+                       n_classes=6, **model_kw)
+    return pg.Config(
+        model=m,
+        sampler=pg.SamplerConfig(batch_size=128, fanout=2,
+                                 num_hops=m.num_sampled_hops, seed=4),
+        train=pg.TrainConfig(lr=1e-2, epochs=4, warmup_epochs=1,
+                             on_device_sampling=True),
+    )
+
+
+def test_sample_hop_policy(tiny_ds):
+    """Per-vertex policy matches the host sampler: deg==0 all-masked,
+    deg<=fanout exact take-all, deg>fanout all slots valid in-neighbors."""
+    g = tiny_ds.graph
+    csr = DeviceCSR.from_graph(g)
+    fanout = 3
+    dst = jnp.arange(g.num_nodes, dtype=jnp.int32)
+    mask = jnp.ones(g.num_nodes, dtype=bool)
+    nbr, m = sample_hop(csr, dst, mask, fanout, jax.random.PRNGKey(0))
+    nbr, m = np.asarray(nbr), np.asarray(m)
+    deg = g.in_degrees
+    for v in range(g.num_nodes):
+        true_nbrs = set(g.in_neighbors(v).tolist())
+        if deg[v] == 0:
+            assert not m[v].any()
+        elif deg[v] <= fanout:
+            assert m[v].sum() == deg[v]
+            assert set(nbr[v][m[v]].tolist()) == true_nbrs
+        else:
+            assert m[v].all()
+            assert set(nbr[v].tolist()) <= true_nbrs
+
+
+def test_sample_hop_masked_dst(tiny_ds):
+    csr = DeviceCSR.from_graph(tiny_ds.graph)
+    dst = jnp.arange(16, dtype=jnp.int32)
+    mask = jnp.zeros(16, dtype=bool).at[:8].set(True)
+    _, m = sample_hop(csr, dst, mask, 2, jax.random.PRNGKey(1))
+    assert not np.asarray(m)[8:].any()
+
+
+def test_minibatch_invariants(tiny_ds):
+    """Prefix-subset layering, block-local positions, label gather."""
+    g = tiny_ds.graph
+    csr = DeviceCSR.from_graph(g)
+    B, hops, fanout = 32, 2, 2
+    seeds = jnp.asarray(tiny_ds.train_nids[:B].astype(np.int32))
+    smask = jnp.ones(B, dtype=bool)
+    labels = jnp.asarray(tiny_ds.labels.astype(np.int32))
+    mb = sample_minibatch_device(csr, seeds, smask, hops, fanout,
+                                 jax.random.PRNGKey(2), labels=labels)
+    assert mb.num_hops == hops
+    # widths: B*(fanout+1)^(hops-i)
+    for i, nids in enumerate(mb.layer_nids):
+        assert nids.shape[0] == B * (fanout + 1) ** (hops - i)
+    # inner layer is a PREFIX of the outer layer
+    for i in range(hops):
+        outer = np.asarray(mb.layer_nids[i])
+        inner = np.asarray(mb.layer_nids[i + 1])
+        np.testing.assert_array_equal(outer[: len(inner)], inner)
+        blk = mb.blocks[i]
+        np.testing.assert_array_equal(np.asarray(blk.self_pos),
+                                      np.arange(len(inner)))
+        # every valid neighbor position points at the actual sampled id and
+        # is a true in-neighbor of its destination
+        npos = np.asarray(blk.neigh_pos)
+        nmask = np.asarray(blk.neigh_mask)
+        for d in np.flatnonzero(np.asarray(mb.layer_mask[i + 1]))[:40]:
+            true_nbrs = set(g.in_neighbors(inner[d]).tolist())
+            for k in range(fanout):
+                if nmask[d, k]:
+                    assert outer[npos[d, k]] in true_nbrs
+    np.testing.assert_array_equal(
+        np.asarray(mb.labels), tiny_ds.labels[np.asarray(seeds)]
+    )
+
+
+@pytest.mark.parametrize("arch,pre", [("gcn", False), ("graphsage", False),
+                                      ("graphsage", True)])
+def test_on_device_training_reduces_loss(learn_ds, arch, pre):
+    cfg = _cfg(arch, preprocess=pre)
+    cfg.sync_hops()
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(4)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0] * 0.9, losses
+    em = tr.epoch_metrics[-1]
+    assert em.miss_rate == 0.0
+    nb = -(-len(learn_ds.train_nids) // cfg.sampler.batch_size)
+    assert em.num_batches == nb
+    assert em.edges > 0 and em.vertices > 0
+
+
+def test_on_device_matches_host_quality(learn_ds):
+    """Different RNG streams, same distribution: both paths should converge
+    to comparable training accuracy on the learnable dataset."""
+    accs = []
+    for on_device in (False, True):
+        cfg = _cfg("gcn")
+        cfg.train.on_device_sampling = on_device
+        tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+        tr.train(5)
+        accs.append(tr.epoch_metrics[-1].mean_acc)
+    assert abs(accs[0] - accs[1]) < 0.15, accs
+
+
+def test_on_device_deterministic(learn_ds):
+    runs = []
+    for _ in range(2):
+        cfg = _cfg("gcn")
+        tr = Trainer.from_dataset(cfg, learn_ds, seed=3)
+        tr.train(2)
+        runs.append([m.mean_loss for m in tr.epoch_metrics])
+    np.testing.assert_allclose(runs[0], runs[1], rtol=1e-6)
+
+
+def test_on_device_requires_full_cache(learn_ds):
+    cfg = _cfg("gcn")
+    cfg.cache.capacity = 50
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    with pytest.raises(ValueError, match="full feature set"):
+        tr.run_epoch(0)
+
+
+def test_config_rejects_conflicts():
+    with pytest.raises(ValueError, match="exclusive"):
+        pg.Config(train=pg.TrainConfig(on_device_sampling=True,
+                                       remote_sampling=True))
+    with pytest.raises(ValueError, match="cache.enabled"):
+        pg.Config(cache=pg.CacheConfig(enabled=False),
+                  train=pg.TrainConfig(on_device_sampling=True))
+
+
+# -- multi-chip on-device mode (8-virtual-device CPU mesh) -------------------
+
+@pytest.fixture(scope="module")
+def dp_ds():
+    return synthetic_dataset(
+        num_nodes=1200, num_edges=10000, feat_dim=32, num_classes=6,
+        seed=9, learnable=True,
+    )
+
+
+@pytest.mark.parametrize("method", ["dg", "hash"])
+def test_dp_on_device_training(dp_ds, method):
+    from pagraph_tpu.parallel import DataParallelTrainer, make_mesh
+
+    mesh = make_mesh(4)
+    m = pg.ModelConfig(arch="gcn", n_layers=1, hidden=16, feat_dim=32,
+                       n_classes=6)
+    cfg = pg.Config(
+        model=m,
+        sampler=pg.SamplerConfig(batch_size=64, fanout=2,
+                                 num_hops=m.num_sampled_hops, seed=2),
+        partition=pg.PartitionConfig(num_parts=4, method=method,
+                                     num_hops=m.num_sampled_hops),
+        train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
+                             on_device_sampling=True),
+    )
+    tr = DataParallelTrainer.from_dataset(cfg, dp_ds, mesh=mesh, seed=0)
+    tr.train(4)
+    losses = [m_.mean_loss for m_ in tr.epoch_metrics]
+    assert losses[-1] < losses[0] * 0.9, losses
+    em = tr.epoch_metrics[-1]
+    assert em.miss_rate == 0.0
+    assert em.edges > 0
+    # lockstep step count = max over chips of ceil(n_train_r / B)
+    assert em.num_batches == tr._dev_num_batches
+
+
+def test_dp_on_device_rejects_ici(dp_ds):
+    from pagraph_tpu.parallel import DataParallelTrainer, make_mesh
+
+    m = pg.ModelConfig(arch="gcn", n_layers=1, hidden=16, feat_dim=32,
+                       n_classes=6)
+    cfg = pg.Config(
+        model=m,
+        sampler=pg.SamplerConfig(batch_size=64, fanout=2,
+                                 num_hops=m.num_sampled_hops),
+        partition=pg.PartitionConfig(num_parts=4,
+                                     num_hops=m.num_sampled_hops),
+        train=pg.TrainConfig(on_device_sampling=True),
+    )
+    with pytest.raises(ValueError, match="feature_source"):
+        DataParallelTrainer.from_dataset(
+            cfg, dp_ds, mesh=make_mesh(4), seed=0, feature_source="ici"
+        )
