@@ -18,6 +18,9 @@ def main(argv=None):
     p.add_argument("--interval", type=int, default=1,
                    help="evaluate every Nth checkpoint")
     p.add_argument("--split", choices=["test", "val", "train"], default="test")
+    p.add_argument("--backend", choices=["host", "device"], default="host",
+                   help="full-graph aggregation: host scipy SpMM or "
+                        "on-device chunked edge scatter")
     common.add_model_flags(p)
     args = p.parse_args(argv)
 
@@ -41,7 +44,7 @@ def main(argv=None):
     mask = getattr(ds, f"{args.split}_mask")
     results = evaluate_checkpoints(
         cfg, args.ckpt_dir, ds.graph, ds.features, ds.labels, mask,
-        interval=args.interval,
+        interval=args.interval, backend=args.backend,
     )
     for epoch, acc in sorted(results.items()):
         print(f"epoch {epoch}: {args.split} accuracy {acc:.4f}")

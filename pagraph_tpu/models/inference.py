@@ -2,10 +2,17 @@
 
 The reference evaluates by building a full-neighborhood NodeFlow over the
 test set and running the ``*Infer`` model variants (reference:
-examples/eval.py:20-46, model/gcn_nssc.py:103-164).  On TPU the natural
-equivalent is dense layer-wise propagation: exact aggregation over ALL
-in-neighbors via a host CSR SpMM (sum or max segment-reduce), dense
-linears on device.  Semantics match the reference Infer models:
+examples/eval.py:20-46, model/gcn_nssc.py:103-164).  Two backends with
+identical semantics:
+
+  * ``host``: exact aggregation over ALL in-neighbors via a host scipy CSR
+    SpMM (sum or max segment-reduce), dense linears on device in row chunks;
+  * ``device``: the whole layer-wise propagation on the accelerator — the
+    edge list lives in HBM and aggregation is a ``lax.scan`` of fixed-size
+    edge chunks scatter-added (or -maxed) into the ``[N, D]`` accumulator,
+    so eval needs no host SpMM and no per-layer H2D round trips.
+
+Semantics match the reference Infer models:
 
   * GCN:  h_agg = (sum of neighbor h) * norm  (== full-neighborhood mean),
           then linear (+ concat-skip on the last hidden layer);
@@ -13,6 +20,7 @@ linears on device.  Semantics match the reference Infer models:
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -60,6 +68,58 @@ def _aggregate(graph: CSRGraph, adj, h: np.ndarray, kind: str,
     raise ValueError(kind)
 
 
+@partial(jax.jit, static_argnames=("kind", "num_nodes"))
+def _device_aggregate(src: jax.Array, dst: jax.Array, h: jax.Array,
+                      kind: str, num_nodes: int) -> jax.Array:
+    """Exact full-graph in-neighbor aggregation on device.
+
+    ``src``/``dst`` are the padded edge list reshaped ``[chunks, chunk]``;
+    padded slots carry ``dst == num_nodes`` and are dropped by the scatter.
+    """
+    D = h.shape[1]
+    if kind == "max":
+        init = jnp.full((num_nodes, D), -jnp.inf, dtype=h.dtype)
+    else:
+        init = jnp.zeros((num_nodes, D), dtype=h.dtype)
+
+    def step(acc, xs):
+        s, d = xs
+        vals = jnp.take(h, s, axis=0)
+        if kind == "max":
+            acc = acc.at[d].max(vals, mode="drop")
+        else:
+            acc = acc.at[d].add(vals, mode="drop")
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, init, (src, dst))
+    if kind == "max":
+        acc = jnp.where(jnp.isneginf(acc), 0.0, acc)   # zero-degree rows
+    return acc
+
+
+class _DeviceEdges:
+    """HBM-resident padded edge list for chunked scatter aggregation."""
+
+    def __init__(self, graph: CSRGraph, edge_chunk: int = 1 << 20):
+        n, e = graph.num_nodes, graph.num_edges
+        chunk = min(edge_chunk, max(e, 1))
+        pad = (-e) % chunk
+        src = np.concatenate([graph.indices,
+                              np.zeros(pad, dtype=np.int32)])
+        dst = np.concatenate([
+            np.repeat(np.arange(n, dtype=np.int32),
+                      np.diff(graph.indptr).astype(np.int64)),
+            np.full(pad, n, dtype=np.int32),        # dropped by scatter
+        ])
+        chunks = len(src) // chunk
+        self.src = jnp.asarray(src.reshape(chunks, chunk))
+        self.dst = jnp.asarray(dst.reshape(chunks, chunk))
+        self.num_nodes = n
+
+    def aggregate(self, h: jax.Array, kind: str) -> jax.Array:
+        return _device_aggregate(self.src, self.dst, h, kind, self.num_nodes)
+
+
 def full_graph_logits(
     params: dict,
     cfg: ModelConfig,
@@ -67,14 +127,23 @@ def full_graph_logits(
     features: np.ndarray,
     *,
     batch_rows: int = 65536,
+    backend: str = "host",            # host | device
+    edge_chunk: int = 1 << 20,
 ) -> np.ndarray:
-    """Logits for every vertex.  Aggregation on host (exact, sparse), linear
-    layers on the default device in row batches."""
+    """Logits for every vertex.
+
+    ``backend='host'``: aggregation on host (scipy SpMM), linear layers on
+    device in row batches.  ``backend='device'``: everything on the
+    accelerator via chunked edge scatters (see ``_DeviceEdges``).
+    """
     if cfg.preprocess:
         raise NotImplementedError(
             "full-graph inference consumes raw features; run with a "
             "non-preprocess config (weights are compatible for gcn layers >0)"
         )
+    if backend == "device":
+        return _full_graph_logits_device(params, cfg, graph, features,
+                                         edge_chunk)
     adj = _adj_csr(graph)
     norm = gcn_norm(graph)
     nl = cfg.n_layers
@@ -112,6 +181,40 @@ def full_graph_logits(
     raise NotImplementedError(f"full-graph inference for {cfg.arch}")
 
 
+def _full_graph_logits_device(params: dict, cfg: ModelConfig,
+                              graph: CSRGraph, features: np.ndarray,
+                              edge_chunk: int) -> np.ndarray:
+    edges = _DeviceEdges(graph, edge_chunk)
+    norm = jnp.asarray(gcn_norm(graph))[:, None]
+    nl = cfg.n_layers
+    h = jnp.asarray(np.asarray(features, dtype=np.float32))
+
+    if cfg.arch == "gcn":
+        for li, p in enumerate(params["updates"]):
+            h_agg = edges.aggregate(h, "sum") * norm    # exact mean
+            h = linear(p, h_agg)
+            if li == nl - 1 and cfg.skip_connection:
+                h = jnp.concatenate([h, ACT(h)], axis=1)
+            elif li < nl:
+                h = ACT(h)
+        return np.asarray(h)
+    if cfg.arch == "graphsage":
+        kind = {"mean": "mean", "gcn": "sum", "pool": "max"}[cfg.aggregator]
+        for li, p in enumerate(params["updates"]):
+            h_agg = edges.aggregate(h, "sum" if kind == "mean" else kind)
+            if kind == "mean":
+                h_agg = h_agg * norm
+            out = linear(p["self"], h) + linear(p["neigh"], h_agg)
+            if li == nl - 1 and cfg.skip_connection:
+                h = jnp.concatenate([out, ACT(out)], axis=1)
+            elif li < nl:
+                h = ACT(out)
+            else:
+                h = out
+        return np.asarray(h)
+    raise NotImplementedError(f"device inference for {cfg.arch}")
+
+
 def evaluate(
     params: dict,
     cfg: ModelConfig,
@@ -119,9 +222,11 @@ def evaluate(
     features: np.ndarray,
     labels: np.ndarray,
     mask: np.ndarray,
+    *,
+    backend: str = "host",
 ) -> float:
     """Accuracy over masked vertices (reference eval.py:36-46)."""
-    logits = full_graph_logits(params, cfg, graph, features)
+    logits = full_graph_logits(params, cfg, graph, features, backend=backend)
     pred = logits.argmax(axis=1)
     sel = np.asarray(mask, dtype=bool)
     return float((pred[sel] == labels[sel]).mean())

@@ -65,6 +65,7 @@ def evaluate_checkpoints(
     *,
     interval: int = 1,
     template: Optional[TrainState] = None,
+    backend: str = "host",
 ) -> Dict[int, float]:
     """Replay saved checkpoints on the test set and report accuracy per
     epoch (reference eval.py main loop, :28-46)."""
@@ -76,6 +77,7 @@ def evaluate_checkpoints(
     results: Dict[int, float] = {}
     for epoch in list_checkpoints(ckpt_dir, cfg.model.arch)[::interval]:
         state = restore_checkpoint(ckpt_dir, cfg.model.arch, epoch, template)
-        acc = evaluate(state.params, cfg.model, graph, features, labels, mask)
+        acc = evaluate(state.params, cfg.model, graph, features, labels,
+                       mask, backend=backend)
         results[epoch] = acc
     return results

@@ -136,3 +136,29 @@ def test_trainer_resume(tmp_path, learn_ds):
     tr2.train(3, start_epoch=start)
     assert tr2.epoch_metrics[-1].epoch == 2
     assert np.isfinite(tr2.epoch_metrics[-1].mean_loss)
+
+
+@pytest.mark.parametrize("arch,agg", [("gcn", "mean"), ("graphsage", "mean"),
+                                      ("graphsage", "gcn"),
+                                      ("graphsage", "pool")])
+def test_device_backend_matches_host(learn_ds, arch, agg):
+    """Chunked on-device edge-scatter aggregation == host scipy SpMM."""
+    cfg = _mcfg(arch, aggregator=agg)
+    init_fn, _ = get_model(cfg)
+    params = init_fn(jax.random.PRNGKey(2), cfg)
+    host = full_graph_logits(params, cfg, learn_ds.graph, learn_ds.features,
+                             backend="host")
+    dev = full_graph_logits(params, cfg, learn_ds.graph, learn_ds.features,
+                            backend="device", edge_chunk=512)
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-4)
+
+
+def test_device_backend_evaluate(learn_ds):
+    cfg = _mcfg("gcn")
+    init_fn, _ = get_model(cfg)
+    params = init_fn(jax.random.PRNGKey(3), cfg)
+    a = evaluate(params, cfg, learn_ds.graph, learn_ds.features,
+                 learn_ds.labels, learn_ds.test_mask, backend="device")
+    b = evaluate(params, cfg, learn_ds.graph, learn_ds.features,
+                 learn_ds.labels, learn_ds.test_mask, backend="host")
+    assert a == pytest.approx(b, abs=0.02)
