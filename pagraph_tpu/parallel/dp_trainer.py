@@ -48,6 +48,9 @@ class DataParallelTrainer:
         seed: int = 0,
         log: bool = False,
         feature_source: str = "cache",   # cache | ici
+        full_graph=None,                 # needed for ici + on-device sampling
+        full_train_nids: Optional[np.ndarray] = None,
+        full_labels: Optional[np.ndarray] = None,
     ):
         self.cfg = cfg
         self.store = store
@@ -60,16 +63,20 @@ class DataParallelTrainer:
             )
         self.log = log
         self.feature_source = feature_source
+        self._full_graph = full_graph
+        self._full_train_nids = full_train_nids
+        self._full_labels = full_labels
 
         field_names = ["features"]
         if cfg.model.arch == "graphsage" and cfg.model.preprocess:
             field_names.append("neigh")
 
         self._device_mode = cfg.train.on_device_sampling
-        if self._device_mode and feature_source == "ici":
+        if self._device_mode and feature_source == "ici" and full_graph is None:
             raise ValueError(
-                "on_device_sampling samples from per-chip self-reliant "
-                "partitions; combine it with feature_source='cache'"
+                "on_device_sampling with feature_source='ici' samples the "
+                "FULL graph on every chip: pass full_graph/full_train_nids/"
+                "full_labels (from_dataset does this automatically)"
             )
         # Per-device samplers share layer capacities sized for the LARGEST
         # partition so the stacked pytrees are uniform.
@@ -99,7 +106,9 @@ class DataParallelTrainer:
         self._dp = dp_sharding(self.mesh)
         self._cache_stacked: Optional[jax.Array] = None
         offsets = self.caches[0].field_offsets
-        if self._device_mode:
+        if self._device_mode and feature_source == "ici":
+            self._init_ici_device_mode(offsets, seed, field_names)
+        elif self._device_mode:
             self._init_device_mode(offsets, seed)
         elif feature_source == "ici":
             from .train_step import make_dp_halo_train_step
@@ -154,6 +163,47 @@ class DataParallelTrainer:
         )
         self._epoch_key = jax.random.PRNGKey(seed ^ 0x5EED)
 
+    def _init_ici_device_mode(self, offsets, seed, field_names) -> None:
+        """Full-graph CSR replicated per chip, features ICI-sharded; the
+        whole epoch (sampling + halo exchange + train) is one dispatch."""
+        from ..train.device_epoch import make_ici_device_epoch_fn
+        from .halo import halo_width_for, shard_features
+
+        g = self._full_graph
+        if g.num_edges >= np.iinfo(np.int32).max:
+            raise ValueError("full-graph edge count overflows int32")
+        D = self.mesh.devices.size
+        rep = replicated(self.mesh)
+        put_rep = lambda x: jax.device_put(jnp.asarray(x), rep)
+        self._dev_indptr = put_rep(g.indptr.astype(np.int32))
+        self._dev_indices = put_rep(g.indices)
+        self._dev_train_nids = put_rep(
+            np.asarray(self._full_train_nids, dtype=np.int32))
+        self._dev_labels = put_rep(
+            np.asarray(self._full_labels, dtype=np.int32))
+        fused = self.store.gather(
+            field_names, np.arange(self.store.num_nodes, dtype=np.int64))
+        if self.cfg.cache.dtype == "bfloat16":
+            import ml_dtypes
+            fused = fused.astype(ml_dtypes.bfloat16)
+        stack, self._shard_rows = shard_features(fused, D)
+        self._feat_shards = jax.device_put(stack, self._dp)
+        B = self.cfg.sampler.batch_size
+        cap0 = B * (self.cfg.sampler.fanout + 1) ** self.cfg.sampler.num_hops
+        self._halo_width = halo_width_for(cap0, D)
+        n_train = len(self._full_train_nids)
+        self._dev_num_batches = max(1, -(-n_train // (D * B)))
+        self.epoch_fn = make_ici_device_epoch_fn(
+            self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches,
+            self._shard_rows, self._halo_width,
+        )
+        self._epoch_key = jax.random.PRNGKey(seed ^ 0x5EED)
+        self.halo_drops = 0
+        if self.log:
+            print(f"[ici-device] {self.store.num_nodes} x {fused.shape[1]} "
+                  f"features sharded {stack.shape}, halo width "
+                  f"{self._halo_width}, {self._dev_num_batches} steps/chip")
+
     def _fill_caches_device(self) -> None:
         """Full per-partition caches, padded to a uniform [max_n, dim]."""
         max_n = max(p.num_nodes for p in self.parts)
@@ -205,13 +255,27 @@ class DataParallelTrainer:
             pre = "gcn" if cfg.model.arch in ("gcn", "gcn_cv") else cfg.model.arch
         store = FeatureStore.build(ds.graph, ds.features, preprocess=pre)
         hops = cfg.partition.num_hops
-        if cfg.partition.method == "dg":
+        if cfg.train.on_device_sampling and feature_source == "ici":
+            # full-graph sampling on every chip: partitioning is not used,
+            # but the constructor wants one PartitionArtifact per device —
+            # give each chip a view of the full graph (cheap: same arrays)
+            parts = [
+                PartitionArtifact(
+                    graph=ds.graph, train_nids=ds.train_nids,
+                    labels=ds.labels,
+                    local2full=np.arange(ds.num_nodes, dtype=np.int64),
+                )
+                for _ in range(n)
+            ]
+        elif cfg.partition.method == "dg":
             parts = dg_partition(ds.graph, ds.train_nids, ds.labels, n, hops)
         else:
             parts = hash_partition(ds.graph, ds.train_nids, ds.labels, n, hops,
                                    seed=seed)
         return cls(cfg, store, parts, mesh=mesh, seed=seed, log=log,
-                   feature_source=feature_source)
+                   feature_source=feature_source,
+                   full_graph=ds.graph, full_train_nids=ds.train_nids,
+                   full_labels=ds.labels)
 
     # -- cache ---------------------------------------------------------------
 
@@ -372,19 +436,29 @@ class DataParallelTrainer:
         return em
 
     def _run_epoch_on_device(self, epoch: int) -> EpochMetrics:
-        if self._cache_stacked is None:
+        ici = self.feature_source == "ici"
+        if not ici and self._cache_stacked is None:
             self._fill_caches_device()
         t0 = time.perf_counter()
-        acc = jax.device_put(np.zeros(5, dtype=np.float32),
+        acc = jax.device_put(np.zeros(6 if ici else 5, dtype=np.float32),
                              replicated(self.mesh))
         key = jax.random.fold_in(self._epoch_key, epoch)
         with self.timers.scope("step"):
-            self.state, acc = self.epoch_fn(
-                self.state, acc, key, self._dev_train_nids, self._dev_counts,
-                self._dev_labels, self._dev_indptr, self._dev_indices,
-                self._cache_stacked,
-            )
+            if ici:
+                self.state, acc = self.epoch_fn(
+                    self.state, acc, key, self._dev_train_nids,
+                    self._dev_labels, self._dev_indptr, self._dev_indices,
+                    self._feat_shards,
+                )
+            else:
+                self.state, acc = self.epoch_fn(
+                    self.state, acc, key, self._dev_train_nids,
+                    self._dev_counts, self._dev_labels, self._dev_indptr,
+                    self._dev_indices, self._cache_stacked,
+                )
             vals = np.asarray(acc)
+        if ici:
+            self.halo_drops += int(vals[5])
         steps = max(int(vals[2]), 1)
         em = EpochMetrics(
             epoch=epoch,

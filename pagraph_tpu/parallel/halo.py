@@ -94,6 +94,27 @@ def halo_width_for(cap0: int, num_shards: int, slack: float = 1.5) -> int:
     return min(bucket_size(w, cap0), cap0)
 
 
+def device_halo_plan(nids: jax.Array, mask: jax.Array, shard_rows: int,
+                     num_shards: int, halo_width: int) -> HaloPlan:
+    """Build the exchange plan INSIDE jit (the on-device-sampling variant of
+    ``HaloPlanner.plan``): group the batch's global vertex ids by owner chip
+    and assign each a slot in its owner's static-width request column.
+    Requests beyond ``halo_width`` per owner are dropped (masked to zero
+    features — same accounting as the host planner)."""
+    P, H = num_shards, halo_width
+    owner = jnp.where(mask, nids // shard_rows, P).astype(jnp.int32)
+    offset = (nids % shard_rows).astype(jnp.int32)
+    onehot = owner[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :]
+    rank = (jnp.cumsum(onehot, axis=0) - 1)            # [cap0, P]
+    rank = jnp.where(onehot, rank, 0).sum(axis=1).astype(jnp.int32)
+    valid = jnp.logical_and(mask, rank < H)
+    slot = jnp.where(valid, owner * H + rank, 0).astype(jnp.int32)
+    req = jnp.zeros((P, H), dtype=jnp.int32).at[
+        jnp.where(valid, owner, P), jnp.where(valid, rank, 0)
+    ].set(offset, mode="drop")
+    return HaloPlan(req=req, slot=slot, valid=valid)
+
+
 def exchange_features(
     feat_shard: jax.Array,      # [shard_rows, D] this chip's slice
     plan: HaloPlan,             # leading-axis-free (per-chip) plan

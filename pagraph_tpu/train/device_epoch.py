@@ -244,3 +244,136 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                   labels, indptr, indices, cache_values)
 
     return jax.jit(epoch, donate_argnames=("state", "metrics_acc"))
+
+
+def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
+                             mesh, field_offsets: dict, num_batches: int,
+                             shard_rows: int, halo_width: int,
+                             axis: str = "dp") -> Callable:
+    """On-device sampling over the FULL graph + ICI-sharded features.
+
+    The memory-scalable multi-chip mode: every chip replicates the (cheap)
+    CSR structure and samples its slice of a SHARED per-epoch permutation of
+    the global train set, while the (expensive) feature matrix is sharded
+    disjointly across the mesh's HBM — layer-0 features are fetched from
+    their owner chips with the two-``all_to_all`` halo exchange
+    (parallel/halo.py), built in-jit by ``device_halo_plan``.  Per-chip HBM
+    holds N*dim/D features instead of N*dim, and still nothing crosses the
+    host link inside an epoch.
+
+    ``num_batches`` = ceil(n_train / (D * batch)) lockstep steps per chip.
+    Metrics accumulator is float32[6]: the usual 5 plus halo-dropped
+    vertices (requests beyond the static halo width read zero features).
+
+    Signature (replicated unless noted)::
+
+        epoch_fn(state, metrics_acc, epoch_key, train_nids, labels,
+                 indptr, indices, feat_shards[D-sharded]) -> (state, acc)
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from ..parallel.halo import device_halo_plan, exchange_features
+
+    _, apply_fn = get_model(cfg.model)
+    sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
+    feat_slice = field_offsets["features"]
+    neigh_slice = field_offsets.get("neigh")
+    B = cfg.sampler.batch_size
+    hops = cfg.sampler.num_hops
+    fanout = cfg.sampler.fanout
+    D = mesh.devices.size
+    if not cfg.sampler.include_self:
+        raise ValueError("on-device sampling requires include_self=True")
+
+    def per_device_epoch(state: TrainState, metrics_acc: jax.Array,
+                         epoch_key: jax.Array, train_nids: jax.Array,
+                         labels: jax.Array, indptr: jax.Array,
+                         indices: jax.Array, feat_shard: jax.Array):
+        csr = DeviceCSR(indptr=indptr, indices=indices)
+        feat_shard = feat_shard[0]            # [shard_rows, dim] my slice
+        rank = jax.lax.axis_index(axis)
+        # SHARED permutation (same replicated key on every chip): chip r
+        # trains column r of the [steps, D, B] seed grid - the reference's
+        # one2all round-robin dispatch (dataloader.py:126-147), minus the
+        # sockets.
+        perm_key, sample_key = jax.random.split(epoch_key)
+        n_train = train_nids.shape[0]
+        total = num_batches * D * B
+        perm = jax.random.permutation(perm_key, n_train)
+        idx = jnp.arange(total, dtype=jnp.int32)
+        seeds_grid = jnp.take(train_nids, jnp.take(perm, idx % n_train)
+                              ).reshape(num_batches, D, B)
+        mask_grid = (idx < n_train).reshape(num_batches, D, B)
+        seeds_all = jax.lax.dynamic_index_in_dim(
+            seeds_grid, rank, axis=1, keepdims=False)
+        seed_mask_all = jax.lax.dynamic_index_in_dim(
+            mask_grid, rank, axis=1, keepdims=False)
+        step_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, rank)
+        )(jax.random.split(sample_key, num_batches))
+
+        def one(carry, xs):
+            state, acc = carry
+            seeds, smask, skey = xs
+            mb = sample_minibatch_device(
+                csr, seeds, smask, hops, fanout, skey, labels=labels
+            )
+            rng, sub = jax.random.split(state.rng)
+            sub = jax.random.fold_in(sub, rank)
+            plan = device_halo_plan(mb.input_nids, mb.input_mask,
+                                    shard_rows, D, halo_width)
+            fused = exchange_features(feat_shard, plan, axis
+                                      ).astype(jnp.float32)
+            feats = fused[:, feat_slice]
+            drops = (jnp.logical_and(mb.input_mask, ~plan.valid)
+                     ).sum().astype(jnp.float32)
+
+            def loss_fn(params):
+                kwargs = dict(train=True, dropout_rng=sub)
+                if sage_pre:
+                    kwargs["neigh_feats"] = fused[:, neigh_slice]
+                logits = apply_fn(params, cfg.model, mb, feats, **kwargs)
+                loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
+                return loss, logits
+
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            grads = jax.lax.pmean(grads, axis)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            acc_v = masked_accuracy(logits, mb.labels, mb.seed_mask)
+            edges = sum(b.neigh_mask.sum() for b in mb.blocks)
+            verts = sum(m.sum() for m in mb.layer_mask)
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   step=state.step + 1, rng=rng)
+            new_acc = acc + jnp.stack([
+                jax.lax.pmean(loss, axis),
+                jax.lax.pmean(acc_v, axis),
+                jnp.ones((), loss.dtype),
+                jax.lax.psum(edges.astype(jnp.float32), axis),
+                jax.lax.psum(verts.astype(jnp.float32), axis),
+                jax.lax.psum(drops, axis),
+            ])
+            return (new_state, new_acc), None
+
+        (state, metrics_acc), _ = jax.lax.scan(
+            one, (state, metrics_acc),
+            (seeds_all, seed_mask_all, step_keys),
+        )
+        return state, metrics_acc
+
+    def epoch(state, metrics_acc, epoch_key, train_nids, labels, indptr,
+              indices, feat_shards):
+        fn = shard_map(
+            per_device_epoch,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(state, metrics_acc, epoch_key, train_nids, labels,
+                  indptr, indices, feat_shards)
+
+    return jax.jit(epoch, donate_argnames=("state", "metrics_acc"))

@@ -192,20 +192,49 @@ def test_dp_on_device_training(dp_ds, method):
     assert em.num_batches == tr._dev_num_batches
 
 
-def test_dp_on_device_rejects_ici(dp_ds):
+def test_ici_on_device_training(dp_ds):
+    """Full-graph on-device sampling + ICI-sharded features: loss decreases,
+    halo drops stay rare, epoch runs as one dispatch."""
     from pagraph_tpu.parallel import DataParallelTrainer, make_mesh
 
+    mesh = make_mesh(4)
     m = pg.ModelConfig(arch="gcn", n_layers=1, hidden=16, feat_dim=32,
                        n_classes=6)
     cfg = pg.Config(
         model=m,
         sampler=pg.SamplerConfig(batch_size=64, fanout=2,
-                                 num_hops=m.num_sampled_hops),
+                                 num_hops=m.num_sampled_hops, seed=2),
         partition=pg.PartitionConfig(num_parts=4,
                                      num_hops=m.num_sampled_hops),
-        train=pg.TrainConfig(on_device_sampling=True),
+        train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
+                             on_device_sampling=True),
     )
-    with pytest.raises(ValueError, match="feature_source"):
-        DataParallelTrainer.from_dataset(
-            cfg, dp_ds, mesh=make_mesh(4), seed=0, feature_source="ici"
-        )
+    tr = DataParallelTrainer.from_dataset(cfg, dp_ds, mesh=mesh, seed=0,
+                                          feature_source="ici")
+    tr.train(4)
+    losses = [m_.mean_loss for m_ in tr.epoch_metrics]
+    assert losses[-1] < losses[0] * 0.9, losses
+    em = tr.epoch_metrics[-1]
+    assert em.num_batches == tr._dev_num_batches
+    total_verts = sum(m_.vertices for m_ in tr.epoch_metrics)
+    assert tr.halo_drops <= 0.05 * total_verts, (tr.halo_drops, total_verts)
+
+
+def test_device_halo_plan_matches_host():
+    """In-jit halo plan == host HaloPlanner for the same inputs."""
+    import jax.numpy as jnp
+
+    from pagraph_tpu.parallel.halo import HaloPlanner, device_halo_plan
+
+    rng = np.random.default_rng(0)
+    P, rows, H, cap0 = 4, 50, 16, 64
+    nids = rng.integers(0, P * rows, size=cap0)
+    mask = rng.random(cap0) < 0.9
+    host = HaloPlanner(P, rows, H).plan(nids, mask)
+    dev = device_halo_plan(jnp.asarray(nids.astype(np.int32)),
+                           jnp.asarray(mask), rows, P, H)
+    np.testing.assert_array_equal(np.asarray(dev.req), host.req)
+    np.testing.assert_array_equal(np.asarray(dev.valid), host.valid)
+    # slots must agree wherever valid
+    np.testing.assert_array_equal(np.asarray(dev.slot)[host.valid],
+                                  host.slot[host.valid])
