@@ -71,7 +71,7 @@ def build_dataset(cache_dir: str):
 
 
 def run(ds, *, cache_enabled: bool, epochs: int, seed: int = 0,
-        capacity=None, on_device: bool = False):
+        capacity=None, on_device: bool = False, cache_dtype: str = "float32"):
     import pagraph_tpu as pg
     from pagraph_tpu.train.loop import Trainer
 
@@ -81,7 +81,8 @@ def run(ds, *, cache_enabled: bool, epochs: int, seed: int = 0,
                              dropout=0.2),
         sampler=pg.SamplerConfig(batch_size=6000, fanout=2, num_hops=2,
                                  seed=seed, prefetch=3),
-        cache=pg.CacheConfig(enabled=cache_enabled, capacity=capacity),
+        cache=pg.CacheConfig(enabled=cache_enabled, capacity=capacity,
+                             dtype=cache_dtype),
         train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
                              on_device_sampling=on_device),
     )
@@ -113,6 +114,9 @@ def main():
     tune_host_allocator(1 << 30)   # this host faults fresh pages at ~15MB/s
     log(f"[bench] allocator tuned + heap warmed in {time.time()-t0:.1f}s")
     enable_compilation_cache()
+    if os.environ.get("PAGRAPH_BENCH_FAST_PRNG", "1") != "0":
+        from pagraph_tpu.utils.platform import use_fast_prng
+        use_fast_prng()
     cache_dir = os.environ.get(
         "PAGRAPH_BENCH_DATA", os.path.expanduser("~/.cache/pagraph_tpu_bench")
     )

@@ -41,7 +41,7 @@ def main(argv=None):
     common.add_partition_flags(p)
     args = p.parse_args(argv)
 
-    common.setup_platform()
+    common.setup_platform(fast_prng=args.fast_prng)
     import jax
 
     from pagraph_tpu.data.formats import load_dataset

@@ -96,9 +96,11 @@ class DataParallelTrainer:
                 self.caps = tuple(int(c) for c in probed.max(axis=0))
                 for s in self.samplers:
                     s.set_caps(self.caps)
+        pad_dim = (128 if self._device_mode and feature_source != "ici"
+                   else 1)
         self.caches = [
             FeatureCache(store, field_names, p.graph, p.local2full,
-                         dtype=cfg.cache.dtype)
+                         dtype=cfg.cache.dtype, pad_dim_to=pad_dim)
             for p in self.parts
         ]
         self.state, self._tx = create_state(cfg, seed=seed)
@@ -186,6 +188,9 @@ class DataParallelTrainer:
         if self.cfg.cache.dtype == "bfloat16":
             import ml_dtypes
             fused = fused.astype(ml_dtypes.bfloat16)
+        pad = (-fused.shape[1]) % 128          # lane-align the exchange rows
+        if pad:
+            fused = np.pad(fused, ((0, 0), (0, pad)))
         stack, self._shard_rows = shard_features(fused, D)
         self._feat_shards = jax.device_put(stack, self._dp)
         B = self.cfg.sampler.batch_size

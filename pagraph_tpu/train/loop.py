@@ -64,6 +64,9 @@ class Trainer:
         self.cache = FeatureCache(
             store, field_names, local_graph, local2full, device=device,
             dtype=cfg.cache.dtype,
+            # on-device path reads cache rows directly: 128-lane alignment
+            # measurably speeds the HBM gather (no miss path to conflict)
+            pad_dim_to=128 if cfg.train.on_device_sampling else 1,
         )
         if cfg.cache.rank_by == "access_freq":
             self.cache.track_access = True
