@@ -440,36 +440,34 @@ class DataParallelTrainer:
             )
         return em
 
-    def _run_epoch_on_device(self, epoch: int) -> EpochMetrics:
+    def _dispatch_device_epoch(self, epoch: int):
         ici = self.feature_source == "ici"
         if not ici and self._cache_stacked is None:
             self._fill_caches_device()
-        t0 = time.perf_counter()
-        acc = jax.device_put(np.zeros(6 if ici else 5, dtype=np.float32),
-                             replicated(self.mesh))
         key = jax.random.fold_in(self._epoch_key, epoch)
-        with self.timers.scope("step"):
-            if ici:
-                self.state, acc = self.epoch_fn(
-                    self.state, acc, key, self._dev_train_nids,
-                    self._dev_labels, self._dev_indptr, self._dev_indices,
-                    self._feat_shards,
-                )
-            else:
-                self.state, acc = self.epoch_fn(
-                    self.state, acc, key, self._dev_train_nids,
-                    self._dev_counts, self._dev_labels, self._dev_indptr,
-                    self._dev_indices, self._cache_stacked,
-                )
-            vals = np.asarray(acc)
         if ici:
+            self.state, acc = self.epoch_fn(
+                self.state, key, self._dev_train_nids,
+                self._dev_labels, self._dev_indptr, self._dev_indices,
+                self._feat_shards,
+            )
+        else:
+            self.state, acc = self.epoch_fn(
+                self.state, key, self._dev_train_nids,
+                self._dev_counts, self._dev_labels, self._dev_indptr,
+                self._dev_indices, self._cache_stacked,
+            )
+        return acc
+
+    def _device_epoch_metrics(self, epoch, vals, time_s) -> EpochMetrics:
+        if self.feature_source == "ici":
             self.halo_drops += int(vals[5])
         steps = max(int(vals[2]), 1)
         em = EpochMetrics(
             epoch=epoch,
             mean_loss=float(vals[0]) / steps,
             mean_acc=float(vals[1]) / steps,
-            time_s=time.perf_counter() - t0,
+            time_s=time_s,
             miss_rate=0.0,
             num_batches=int(vals[2]),
             edges=int(vals[3]),
@@ -483,10 +481,36 @@ class DataParallelTrainer:
             )
         return em
 
+    def _run_epoch_on_device(self, epoch: int) -> EpochMetrics:
+        t0 = time.perf_counter()
+        with self.timers.scope("step"):
+            acc = self._dispatch_device_epoch(epoch)
+            jax.block_until_ready(acc)
+        t_done = time.perf_counter()
+        return self._device_epoch_metrics(epoch, np.asarray(acc), t_done - t0)
+
+    def _train_on_device(self, epochs: int) -> None:
+        """Back-to-back epoch dispatches (see Trainer._train_on_device)."""
+        accs, times = [], []
+        t0 = time.perf_counter()
+        for e in range(epochs):
+            with self.timers.scope("step"):
+                accs.append(self._dispatch_device_epoch(e))
+        for acc in accs:
+            jax.block_until_ready(acc)
+            times.append(time.perf_counter() - t0)
+        vals = np.asarray(jnp.stack(accs))
+        for i in range(epochs):
+            dt = times[i] - (times[i - 1] if i else 0.0)
+            self._device_epoch_metrics(i, vals[i], dt)
+
     def train(self, epochs: Optional[int] = None) -> Dict:
         epochs = epochs or self.cfg.train.epochs
-        for e in range(epochs):
-            self.run_epoch(e)
+        if self._device_mode:
+            self._train_on_device(epochs)
+        else:
+            for e in range(epochs):
+                self.run_epoch(e)
         w = self.cfg.train.warmup_epochs
         steady = self.epoch_metrics[w:] or self.epoch_metrics
         return {

@@ -58,11 +58,13 @@ def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     if not cfg.sampler.include_self:
         raise ValueError("on-device sampling requires include_self=True")
 
-    @partial(jax.jit, donate_argnames=("state", "metrics_acc"))
-    def epoch_fn(state: TrainState, metrics_acc: jax.Array,
-                 epoch_key: jax.Array, train_nids: jax.Array,
-                 labels: jax.Array, csr: DeviceCSR,
+    @partial(jax.jit, donate_argnames=("state",))
+    def epoch_fn(state: TrainState, epoch_key: jax.Array,
+                 train_nids: jax.Array, labels: jax.Array, csr: DeviceCSR,
                  cache_values: jax.Array):
+        # the metrics accumulator is CREATED here: a host-made buffer would
+        # ride the tunnel H2D and stall the dispatch ~250ms on this machine
+        metrics_acc = jnp.zeros(5, dtype=jnp.float32)
         n_train = train_nids.shape[0]
         num_batches = -(-n_train // B)
         total = num_batches * B
@@ -154,11 +156,11 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     if not cfg.sampler.include_self:
         raise ValueError("on-device sampling requires include_self=True")
 
-    def per_device_epoch(state: TrainState, metrics_acc: jax.Array,
-                         epoch_key: jax.Array, train_nids: jax.Array,
-                         train_count: jax.Array, labels: jax.Array,
-                         indptr: jax.Array, indices: jax.Array,
-                         cache_values: jax.Array):
+    def per_device_epoch(state: TrainState, epoch_key: jax.Array,
+                         train_nids: jax.Array, train_count: jax.Array,
+                         labels: jax.Array, indptr: jax.Array,
+                         indices: jax.Array, cache_values: jax.Array):
+        metrics_acc = jnp.zeros(5, dtype=jnp.float32)
         # drop the size-1 leading device axis inside the shard
         train_nids, train_count = train_nids[0], train_count[0]
         labels, cache_values = labels[0], cache_values[0]
@@ -230,20 +232,20 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         )
         return state, metrics_acc
 
-    def epoch(state, metrics_acc, epoch_key, train_nids, train_counts,
-              labels, indptr, indices, cache_values):
+    def epoch(state, epoch_key, train_nids, train_counts, labels, indptr,
+              indices, cache_values):
         fn = shard_map(
             per_device_epoch,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis),
                       P(axis), P(axis)),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return fn(state, metrics_acc, epoch_key, train_nids, train_counts,
+        return fn(state, epoch_key, train_nids, train_counts,
                   labels, indptr, indices, cache_values)
 
-    return jax.jit(epoch, donate_argnames=("state", "metrics_acc"))
+    return jax.jit(epoch, donate_argnames=("state",))
 
 
 def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
@@ -286,10 +288,11 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     if not cfg.sampler.include_self:
         raise ValueError("on-device sampling requires include_self=True")
 
-    def per_device_epoch(state: TrainState, metrics_acc: jax.Array,
-                         epoch_key: jax.Array, train_nids: jax.Array,
-                         labels: jax.Array, indptr: jax.Array,
-                         indices: jax.Array, feat_shard: jax.Array):
+    def per_device_epoch(state: TrainState, epoch_key: jax.Array,
+                         train_nids: jax.Array, labels: jax.Array,
+                         indptr: jax.Array, indices: jax.Array,
+                         feat_shard: jax.Array):
+        metrics_acc = jnp.zeros(6, dtype=jnp.float32)
         csr = DeviceCSR(indptr=indptr, indices=indices)
         feat_shard = feat_shard[0]            # [shard_rows, dim] my slice
         rank = jax.lax.axis_index(axis)
@@ -364,16 +367,16 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         )
         return state, metrics_acc
 
-    def epoch(state, metrics_acc, epoch_key, train_nids, labels, indptr,
-              indices, feat_shards):
+    def epoch(state, epoch_key, train_nids, labels, indptr, indices,
+              feat_shards):
         fn = shard_map(
             per_device_epoch,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(), P(), P(axis)),
+            in_specs=(P(), P(), P(), P(), P(), P(), P(axis)),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return fn(state, metrics_acc, epoch_key, train_nids, labels,
+        return fn(state, epoch_key, train_nids, labels,
                   indptr, indices, feat_shards)
 
-    return jax.jit(epoch, donate_argnames=("state", "metrics_acc"))
+    return jax.jit(epoch, donate_argnames=("state",))

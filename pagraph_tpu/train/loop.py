@@ -308,29 +308,25 @@ class Trainer:
             )
         return em
 
-    def _run_epoch_on_device(self, epoch: int) -> EpochMetrics:
-        """One compiled call per epoch; only a 5-float metrics vector and the
-        epoch PRNG key cross the host link."""
-        import jax.numpy as jnp
-
-        t_epoch = time.perf_counter()
-        self._maybe_fill_cache()
-        acc = jnp.zeros(5, dtype=jnp.float32)
-        if self.device is not None:
-            acc = jax.device_put(acc, self.device)
+    def _dispatch_device_epoch(self, epoch: int):
+        """Enqueue one epoch (async); returns the device metrics vector.
+        No host array crosses the link: the accumulator is created inside
+        jit and the key is derived on device."""
         key = jax.random.fold_in(self._epoch_key, epoch)
-        with self.timers.scope("step"):
-            self.state, acc = self.epoch_fn(
-                self.state, acc, key, self._dev_train_nids,
-                self._dev_labels, self._dev_csr, self.cache.cache_values,
-            )
-            vals = np.asarray(acc)          # device sync = epoch boundary
+        self.state, acc = self.epoch_fn(
+            self.state, key, self._dev_train_nids,
+            self._dev_labels, self._dev_csr, self.cache.cache_values,
+        )
+        return acc
+
+    def _device_epoch_metrics(self, epoch: int, vals: np.ndarray,
+                              time_s: float) -> EpochMetrics:
         steps = max(int(vals[2]), 1)
         em = EpochMetrics(
             epoch=epoch,
             mean_loss=float(vals[0]) / steps,
             mean_acc=float(vals[1]) / steps,
-            time_s=time.perf_counter() - t_epoch,
+            time_s=time_s,
             miss_rate=0.0,                  # fully cached by construction
             num_batches=int(vals[2]),
             edges=int(vals[3]),
@@ -343,6 +339,45 @@ class Trainer:
                 f"acc={em.mean_acc:.3f} time={em.time_s:.2f}s [on-device]"
             )
         return em
+
+    def _run_epoch_on_device(self, epoch: int) -> EpochMetrics:
+        """One compiled call per epoch; only the ~35ms metrics fetch (after
+        the timer stops) touches the host link."""
+        self._maybe_fill_cache()
+        t_epoch = time.perf_counter()
+        with self.timers.scope("step"):
+            acc = self._dispatch_device_epoch(epoch)
+            jax.block_until_ready(acc)      # epoch boundary, no transfer
+        time_s = time.perf_counter() - t_epoch
+        return self._device_epoch_metrics(epoch, np.asarray(acc), time_s)
+
+    def _train_on_device(self, epochs: int, start_epoch: int) -> None:
+        """Back-to-back epoch dispatches: state chains on device, metric
+        vectors are blocked on in order (per-epoch wall time) and fetched in
+        ONE stacked D2H at the end — the device never idles on the host."""
+        import jax.numpy as jnp
+
+        self._maybe_fill_cache()
+        accs, times = [], []
+        t0 = time.perf_counter()
+        for e in range(start_epoch, epochs):
+            with self.timers.scope("step"):
+                accs.append(self._dispatch_device_epoch(e))
+        for acc in accs:
+            jax.block_until_ready(acc)
+            times.append(time.perf_counter() - t0)
+        vals = np.asarray(jnp.stack(accs))
+        for i, e in enumerate(range(start_epoch, epochs)):
+            dt = times[i] - (times[i - 1] if i else 0.0)
+            self._device_epoch_metrics(e, vals[i], dt)
+
+    def train(self, epochs: Optional[int] = None, *, start_epoch: int = 0) -> Dict:
+        if self._device_mode and not (self.cfg.train.ckpt_dir
+                                      and self.cfg.train.ckpt_every):
+            epochs = epochs or self.cfg.train.epochs
+            self._train_on_device(epochs, start_epoch)
+            return self.summary()
+        return self._train_stepwise(epochs, start_epoch=start_epoch)
 
     def resume(self, epoch: Optional[int] = None) -> int:
         """Restore train state from the newest (or given) checkpoint in
@@ -365,7 +400,8 @@ class Trainer:
             self.state = jax.device_put(self.state, self.device)
         return epoch + 1
 
-    def train(self, epochs: Optional[int] = None, *, start_epoch: int = 0) -> Dict:
+    def _train_stepwise(self, epochs: Optional[int] = None, *,
+                        start_epoch: int = 0) -> Dict:
         epochs = epochs or self.cfg.train.epochs
         tc = self.cfg.train
         for e in range(start_epoch, epochs):

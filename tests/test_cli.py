@@ -96,3 +96,19 @@ def test_train_cli_single_epoch(ds_dir, capsys):
     ])
     assert summary["epochs"] == 2
     assert np.isfinite(summary["final_loss"])
+
+
+def test_train_cli_on_device(ds_dir):
+    """--on-device: whole-epoch-in-one-dispatch path through the CLI.
+    (--fast-prng is intentionally NOT exercised here: it flips the global
+    default PRNG impl for the whole test process.)"""
+    from pagraph_tpu.cli import train
+
+    summary = train.main([
+        "--dataset", ds_dir, "--arch", "graphsage", "--n-hidden", "8",
+        "--batch-size", "64", "--num-neighbors", "2", "--epochs", "2",
+        "--lr", "0.01", "--on-device",
+    ])
+    assert summary["epochs"] == 2
+    assert np.isfinite(summary["final_loss"])
+    assert summary["miss_rate"] == 0.0
