@@ -490,19 +490,21 @@ class DataParallelTrainer:
         return self._device_epoch_metrics(epoch, np.asarray(acc), t_done - t0)
 
     def _train_on_device(self, epochs: int) -> None:
-        """Back-to-back epoch dispatches (see Trainer._train_on_device)."""
-        accs, times = [], []
-        t0 = time.perf_counter()
+        """Overlapped epoch dispatches (see Trainer._train_on_device)."""
+        prev = None
+        prev_t = time.perf_counter()
         for e in range(epochs):
             with self.timers.scope("step"):
-                accs.append(self._dispatch_device_epoch(e))
-        for acc in accs:
-            jax.block_until_ready(acc)
-            times.append(time.perf_counter() - t0)
-        vals = np.asarray(jnp.stack(accs))
-        for i in range(epochs):
-            dt = times[i] - (times[i - 1] if i else 0.0)
-            self._device_epoch_metrics(i, vals[i], dt)
+                acc = self._dispatch_device_epoch(e)
+            if prev is not None:
+                jax.block_until_ready(prev)
+                t = time.perf_counter()
+                self._device_epoch_metrics(e - 1, np.asarray(prev), t - prev_t)
+                prev_t = t
+            prev = acc
+        jax.block_until_ready(prev)
+        t = time.perf_counter()
+        self._device_epoch_metrics(epochs - 1, np.asarray(prev), t - prev_t)
 
     def train(self, epochs: Optional[int] = None) -> Dict:
         epochs = epochs or self.cfg.train.epochs

@@ -352,24 +352,27 @@ class Trainer:
         return self._device_epoch_metrics(epoch, np.asarray(acc), time_s)
 
     def _train_on_device(self, epochs: int, start_epoch: int) -> None:
-        """Back-to-back epoch dispatches: state chains on device, metric
-        vectors are blocked on in order (per-epoch wall time) and fetched in
-        ONE stacked D2H at the end — the device never idles on the host."""
-        import jax.numpy as jnp
-
+        """Overlapped epoch dispatches: epoch e+1 is enqueued BEFORE epoch
+        e's metrics are blocked on and fetched, so the ~35ms tunnel fetch
+        rides under the next epoch's execution and the device never idles.
+        (Fetching per epoch rather than one stacked fetch at the end also
+        sidesteps an axon-tunnel wedge observed on deferred D2H reads after
+        long donation chains.)"""
         self._maybe_fill_cache()
-        accs, times = [], []
-        t0 = time.perf_counter()
+        prev = None
+        prev_t = t0 = time.perf_counter()
         for e in range(start_epoch, epochs):
             with self.timers.scope("step"):
-                accs.append(self._dispatch_device_epoch(e))
-        for acc in accs:
-            jax.block_until_ready(acc)
-            times.append(time.perf_counter() - t0)
-        vals = np.asarray(jnp.stack(accs))
-        for i, e in enumerate(range(start_epoch, epochs)):
-            dt = times[i] - (times[i - 1] if i else 0.0)
-            self._device_epoch_metrics(e, vals[i], dt)
+                acc = self._dispatch_device_epoch(e)
+            if prev is not None:
+                jax.block_until_ready(prev)
+                t = time.perf_counter()
+                self._device_epoch_metrics(e - 1, np.asarray(prev), t - prev_t)
+                prev_t = t
+            prev = acc
+        jax.block_until_ready(prev)
+        t = time.perf_counter()
+        self._device_epoch_metrics(epochs - 1, np.asarray(prev), t - prev_t)
 
     def train(self, epochs: Optional[int] = None, *, start_epoch: int = 0) -> Dict:
         if self._device_mode and not (self.cfg.train.ckpt_dir
