@@ -30,7 +30,7 @@ import scipy.sparse as spsp
 
 from ..config import ModelConfig
 from ..graph import CSRGraph, gcn_norm
-from .common import concat_skip, linear
+from .common import linear
 
 ACT = jax.nn.relu
 

@@ -11,9 +11,6 @@ implementation (also used to validate the kernels).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -17,12 +17,11 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..config import Config
 from ..models import get_model
-from ..sampling.block import MiniBatch
 from ..storage.cache import FetchPlan, assemble_features
 from ..train.objective import masked_accuracy, masked_cross_entropy
 from ..train.state import TrainState

@@ -26,7 +26,7 @@ import multiprocessing as mp
 import queue as queue_mod
 from dataclasses import dataclass
 from multiprocessing import shared_memory
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -24,7 +24,7 @@ every layer — the reference must fetch per NodeFlow layer instead
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ field) — reference: server/pa_server.py:43-61.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -141,8 +141,6 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         epoch_fn(state, metrics_acc, epoch_key, train_nids, train_counts,
                  labels, indptr, indices, cache_values) -> (state, acc)
     """
-    from functools import partial as _partial
-
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 

@@ -23,7 +23,7 @@ from ..sampling.sampler import NeighborSampler
 from ..storage.cache import FeatureCache
 from ..storage.feature_store import FeatureStore
 from ..utils.timers import PhaseTimers
-from .state import TrainState, create_state, make_cached_train_step
+from .state import create_state
 
 
 @dataclasses.dataclass
