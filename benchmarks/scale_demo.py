@@ -33,6 +33,9 @@ def main():
     p.add_argument("--cache-frac", type=float, default=0.0,
                    help="0 = auto-size from HBM budget")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--on-device", action="store_true",
+                   help="in-HBM regime instead: whole-epoch on-device "
+                        "training (use with --feat small enough to cache)")
     args = p.parse_args()
 
     from pagraph_tpu.utils.platform import (
@@ -43,6 +46,9 @@ def main():
     t0 = time.time()
     tune_host_allocator(4 << 30)
     enable_compilation_cache()
+    if args.on_device:
+        from pagraph_tpu.utils.platform import use_fast_prng
+        use_fast_prng()
     log(f"[scale] allocator+cache ready in {time.time()-t0:.0f}s")
 
     import pagraph_tpu as pg
@@ -100,7 +106,8 @@ def main():
             capacity=(int(n * args.cache_frac) if args.cache_frac else None),
             dtype="bfloat16" if args.bf16 else "float32",
         ),
-        train=pg.TrainConfig(lr=1e-2, warmup_epochs=1),
+        train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
+                             on_device_sampling=args.on_device),
     )
     tr = Trainer.from_dataset(cfg, ds, seed=0, log=True)
     tr.train(args.epochs)
@@ -113,7 +120,8 @@ def main():
         "detail": {
             "workload": f"graphsage rmat{args.scale} "
                         f"({n:,} v, {graph.num_edges:,} e, "
-                        f"feat {feat_gb:.1f}GB host tier)",
+                        f"feat {feat_gb:.1f}GB "
+                        f"{'on-device' if args.on_device else 'host tier'})",
             "cache_capacity_vertices": tr.cache.capacity,
             "cache_frac": round(tr.cache.capacity / n, 3),
             "hit_rate": round(1.0 - tr.epoch_metrics[-1].miss_rate, 4),

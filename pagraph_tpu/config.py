@@ -143,11 +143,6 @@ class Config:
                 raise ValueError(
                     "on_device_sampling and remote_sampling are exclusive"
                 )
-            if m.arch == "gcn_cv":
-                raise ValueError(
-                    "gcn_cv keeps host-side history state; "
-                    "on_device_sampling is not supported"
-                )
             if not self.cache.enabled:
                 raise ValueError(
                     "on_device_sampling requires cache.enabled (the full "

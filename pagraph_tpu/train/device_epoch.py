@@ -378,3 +378,116 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                   indptr, indices, feat_shards)
 
     return jax.jit(epoch, donate_argnames=("state",))
+
+
+def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
+                            field_offsets: dict, num_nodes: int) -> Callable:
+    """Whole-epoch on-device control-variate GCN.
+
+    The reference's CV model stashes history tensors in NodeFlow frames that
+    never persist (gcn_cvsc.py:94); our host path already made them explicit
+    state (models/gcn_cv.py).  Here they become DEVICE state: per-layer
+    ``hist[b]``/``agg[b]`` arrays [N, w_b] ride the epoch as donated inputs,
+    each step gathers its slices, scatters fresh activations back, and the
+    epoch ends with an EXACT full-graph mean re-aggregation of every history
+    via chunked edge scatters — all inside the one compiled dispatch.
+
+    Signature::
+
+        epoch_fn(state, hists, aggs, epoch_key, train_nids, labels, csr,
+                 cache_values, edge_src, edge_dst, inv_deg)
+            -> (state, hists, aggs, metrics_acc)
+
+    ``edge_src``/``edge_dst`` are the padded edge list reshaped
+    [chunks, chunk] (padded dst = num_nodes, dropped); ``inv_deg`` is
+    1/max(in_degree,1) [N].
+    """
+    from ..models import gcn_cv
+
+    feat_slice = field_offsets["features"]
+    B = cfg.sampler.batch_size
+    hops = cfg.sampler.num_hops
+    fanout = cfg.sampler.fanout
+
+    @partial(jax.jit, donate_argnames=("state", "hists", "aggs"))
+    def epoch_fn(state: TrainState, hists, aggs, epoch_key: jax.Array,
+                 train_nids: jax.Array, labels: jax.Array, csr: DeviceCSR,
+                 cache_values: jax.Array, edge_src: jax.Array,
+                 edge_dst: jax.Array, inv_deg: jax.Array):
+        metrics_acc = jnp.zeros(5, dtype=jnp.float32)
+        n_train = train_nids.shape[0]
+        num_batches = -(-n_train // B)
+        total = num_batches * B
+        perm_key, sample_key = jax.random.split(epoch_key)
+        perm = jax.random.permutation(perm_key, n_train)
+        idx = jnp.arange(total, dtype=jnp.int32)
+        seeds_all = jnp.take(train_nids, jnp.take(perm, idx % n_train)
+                             ).reshape(num_batches, B)
+        seed_mask_all = (idx < n_train).reshape(num_batches, B)
+        step_keys = jax.random.split(sample_key, num_batches)
+
+        def one(carry, xs):
+            state, hists, aggs, acc = carry
+            seeds, smask, skey = xs
+            mb = sample_minibatch_device(
+                csr, seeds, smask, hops, fanout, skey, labels=labels
+            )
+            rng, sub = jax.random.split(state.rng)
+            fused = jnp.take(cache_values, mb.input_nids, axis=0
+                             ).astype(jnp.float32)
+            feats = fused[:, feat_slice]
+            h_hist = [jnp.take(hists[b], mb.layer_nids[b], axis=0)
+                      for b in range(hops)]
+            agg_hist = [jnp.take(aggs[b], mb.layer_nids[b + 1], axis=0)
+                        for b in range(hops)]
+
+            def loss_fn(params):
+                logits, new_hists = gcn_cv.apply(
+                    params, cfg.model, mb, feats, train=True,
+                    dropout_rng=sub, h_hist=h_hist, agg_hist=agg_hist,
+                )
+                loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
+                return loss, (logits, new_hists)
+
+            (loss, (logits, new_hists)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            # scatter fresh activations; masked rows -> index N (dropped)
+            hists = list(hists)
+            for b, nh in enumerate(new_hists):
+                ids = jnp.where(mb.layer_mask[b], mb.layer_nids[b],
+                                jnp.int32(num_nodes))
+                hists[b] = hists[b].at[ids].set(nh, mode="drop")
+            acc_v = masked_accuracy(logits, mb.labels, mb.seed_mask)
+            edges = sum(b.neigh_mask.sum() for b in mb.blocks)
+            verts = sum(m.sum() for m in mb.layer_mask)
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   step=state.step + 1, rng=rng)
+            new_acc = acc + jnp.stack([
+                loss, acc_v, jnp.ones((), loss.dtype),
+                edges.astype(jnp.float32), verts.astype(jnp.float32),
+            ])
+            return (new_state, tuple(hists), aggs, new_acc), None
+
+        (state, hists, aggs, metrics_acc), _ = jax.lax.scan(
+            one, (state, hists, aggs, metrics_acc),
+            (seeds_all, seed_mask_all, step_keys),
+        )
+
+        # end-of-epoch exact refresh: agg[b] = mean over in-neighbors of
+        # hist[b] (the host path's CVHistory.refresh_agg, on device)
+        def refresh(hist):
+            def step(accum, xs):
+                s, d = xs
+                return accum.at[d].add(jnp.take(hist, s, axis=0),
+                                       mode="drop"), None
+            init = jnp.zeros_like(hist)
+            summed, _ = jax.lax.scan(step, init, (edge_src, edge_dst))
+            return summed * inv_deg[:, None]
+
+        aggs = tuple(refresh(h) for h in hists)
+        return state, hists, aggs, metrics_acc
+
+    return epoch_fn

@@ -91,11 +91,43 @@ class Trainer:
             self.state, self._tx = create_state(cfg, seed=seed)
             if device is not None:
                 self.state = jax.device_put(self.state, device)
-            self.epoch_fn = make_device_epoch_fn(
-                cfg, self._tx, self.cache.field_offsets
-            )
+            self._is_cv = cfg.model.arch == "gcn_cv"
+            if self._is_cv:
+                # device-resident CV histories + padded edge list for the
+                # end-of-epoch exact aggregated-history refresh
+                from ..models.gcn_cv import layer_widths
+                from .device_epoch import make_cv_device_epoch_fn
+
+                n = local_graph.num_nodes
+                widths = layer_widths(cfg.model)
+                self._dev_hists = tuple(
+                    put(np.zeros((n, w), np.float32)) for w in widths)
+                self._dev_aggs = tuple(
+                    put(np.zeros((n, w), np.float32)) for w in widths)
+                e = local_graph.num_edges
+                chunk = min(1 << 20, max(e, 1))
+                pad = (-e) % chunk
+                src = np.concatenate(
+                    [local_graph.indices, np.zeros(pad, np.int32)])
+                dstv = np.concatenate([
+                    np.repeat(np.arange(n, dtype=np.int32),
+                              local_graph.in_degrees.astype(np.int64)),
+                    np.full(pad, n, np.int32),
+                ])
+                ch = len(src) // chunk
+                self._dev_esrc = put(src.reshape(ch, chunk))
+                self._dev_edst = put(dstv.reshape(ch, chunk))
+                self._dev_invdeg = put(
+                    (1.0 / np.maximum(local_graph.in_degrees, 1)
+                     ).astype(np.float32))
+                self.epoch_fn = make_cv_device_epoch_fn(
+                    cfg, self._tx, self.cache.field_offsets, n
+                )
+            else:
+                self.epoch_fn = make_device_epoch_fn(
+                    cfg, self._tx, self.cache.field_offsets
+                )
             self._epoch_key = jax.random.PRNGKey(seed ^ 0x5EED)
-            self._is_cv = False
             self.timers = PhaseTimers()
             self._cache_filled = False
             self.epoch_metrics: List[EpochMetrics] = []
@@ -313,6 +345,15 @@ class Trainer:
         No host array crosses the link: the accumulator is created inside
         jit and the key is derived on device."""
         key = jax.random.fold_in(self._epoch_key, epoch)
+        if self._is_cv:
+            (self.state, self._dev_hists, self._dev_aggs,
+             acc) = self.epoch_fn(
+                self.state, self._dev_hists, self._dev_aggs, key,
+                self._dev_train_nids, self._dev_labels, self._dev_csr,
+                self.cache.cache_values, self._dev_esrc, self._dev_edst,
+                self._dev_invdeg,
+            )
+            return acc
         self.state, acc = self.epoch_fn(
             self.state, key, self._dev_train_nids,
             self._dev_labels, self._dev_csr, self.cache.cache_values,

@@ -238,3 +238,25 @@ def test_device_halo_plan_matches_host():
     # slots must agree wherever valid
     np.testing.assert_array_equal(np.asarray(dev.slot)[host.valid],
                                   host.slot[host.valid])
+
+
+def test_cv_gcn_on_device_training(learn_ds):
+    """Control-variate GCN fully on device: histories + exact agg refresh
+    live in HBM; loss decreases and tracks the host CV path."""
+    accs = []
+    for on_device in (False, True):
+        m = pg.ModelConfig(arch="gcn_cv", n_layers=1, hidden=24, feat_dim=32,
+                           n_classes=6, preprocess=True)
+        cfg = pg.Config(
+            model=m,
+            sampler=pg.SamplerConfig(batch_size=128, fanout=2,
+                                     num_hops=m.num_sampled_hops, seed=4),
+            train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
+                                 on_device_sampling=on_device),
+        )
+        tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+        tr.train(5)
+        losses = [e.mean_loss for e in tr.epoch_metrics]
+        assert losses[-1] < losses[0] * 0.9, (on_device, losses)
+        accs.append(tr.epoch_metrics[-1].mean_acc)
+    assert abs(accs[0] - accs[1]) < 0.2, accs
