@@ -103,6 +103,12 @@ class TrainConfig:
                                       # dispatch (needs graph + full feature
                                       # cache in HBM; see train/device_epoch.py)
     steps_per_dispatch: int = 8       # K batches per compiled call (lax.scan)
+    scan_unroll: int = 1              # on-device epoch: minibatches unrolled
+                                      # per scan iteration (the step is
+                                      # latency-bound, not FLOP-bound, at the
+                                      # reference's small batch shapes;
+                                      # unrolling lets XLA overlap fusions
+                                      # across adjacent steps)
     dtype: str = "float32"            # compute dtype for activations
 
 

@@ -112,7 +112,8 @@ def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
             return (new_state, new_acc), None
 
         (state, metrics_acc), _ = jax.lax.scan(
-            one, (state, metrics_acc), (seeds_all, seed_mask_all, step_keys)
+            one, (state, metrics_acc), (seeds_all, seed_mask_all, step_keys),
+            unroll=cfg.train.scan_unroll,
         )
         return state, metrics_acc
 
@@ -227,6 +228,7 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         (state, metrics_acc), _ = jax.lax.scan(
             one, (state, metrics_acc),
             (seeds_all, seed_mask_all, step_keys),
+            unroll=cfg.train.scan_unroll,
         )
         return state, metrics_acc
 
@@ -362,6 +364,7 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         (state, metrics_acc), _ = jax.lax.scan(
             one, (state, metrics_acc),
             (seeds_all, seed_mask_all, step_keys),
+            unroll=cfg.train.scan_unroll,
         )
         return state, metrics_acc
 
@@ -474,6 +477,7 @@ def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         (state, hists, aggs, metrics_acc), _ = jax.lax.scan(
             one, (state, hists, aggs, metrics_acc),
             (seeds_all, seed_mask_all, step_keys),
+            unroll=cfg.train.scan_unroll,
         )
 
         # end-of-epoch exact refresh: agg[b] = mean over in-neighbors of

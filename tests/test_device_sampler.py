@@ -138,6 +138,20 @@ def test_on_device_deterministic(learn_ds):
     np.testing.assert_allclose(runs[0], runs[1], rtol=1e-6)
 
 
+def test_on_device_unroll_equivalent(learn_ds):
+    """scan_unroll is a pure scheduling knob: same trajectory bit-for-bit,
+    including when the step count does not divide the unroll factor
+    (800 seeds / batch 128 = 7 steps, unroll 4)."""
+    runs = []
+    for unroll in (1, 4):
+        cfg = _cfg("gcn")
+        cfg.train.scan_unroll = unroll
+        tr = Trainer.from_dataset(cfg, learn_ds, seed=3)
+        tr.train(2)
+        runs.append([m.mean_loss for m in tr.epoch_metrics])
+    np.testing.assert_allclose(runs[0], runs[1], rtol=1e-6)
+
+
 def test_on_device_requires_full_cache(learn_ds):
     cfg = _cfg("gcn")
     cfg.cache.capacity = 50
