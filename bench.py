@@ -109,7 +109,10 @@ def run(ds, *, cache_enabled: bool, epochs: int, seed: int = 0,
         cache=pg.CacheConfig(enabled=cache_enabled, capacity=capacity,
                              dtype=cache_dtype),
         train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
-                             on_device_sampling=on_device),
+                             on_device_sampling=on_device,
+                             # measured on v5e: unroll=2 ~5% over unroll=1
+                             # (11.0M vs 10.5M edges/s, same run)
+                             scan_unroll=2 if on_device else 1),
     )
     tr = Trainer.from_dataset(cfg, ds, seed=seed, log=False)
     tr.train(epochs)

@@ -65,7 +65,7 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
 def add_partition_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--partition", type=int, default=1,
                    help="number of partitions / chips")
-    p.add_argument("--partition-method", choices=["dg", "hash"], default="dg")
+    p.add_argument("--partition-method", choices=["dg", "hash", "kl"], default="dg")
     p.add_argument("--ordering", action="store_true",
                    help="locality reordering before partitioning")
 
@@ -114,7 +114,24 @@ def build_config(args, *, feat_dim: int, n_classes: int) -> pg.Config:
 
 
 def setup_platform(warm_bytes: int = 1 << 30,
-                   fast_prng: bool = False) -> None:
+                   fast_prng: bool = False,
+                   cpu_devices: int = 0) -> None:
+    if cpu_devices:
+        # Virtual host devices for multi-chip runs without the chips (the
+        # same fake backend tests/conftest.py uses).  Legal only before the
+        # first backend initialization: XLA reads XLA_FLAGS at backend
+        # creation, and jax_platforms is mutable until then.
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={cpu_devices}"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from pagraph_tpu.utils.platform import (
         enable_compilation_cache,
         tune_host_allocator,

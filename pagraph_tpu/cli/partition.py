@@ -19,7 +19,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="pagraph_tpu partitioner")
     p.add_argument("--dataset", type=str, required=True)
     p.add_argument("--partition", type=int, default=2)
-    p.add_argument("--method", choices=["dg", "hash"], default="dg")
+    p.add_argument("--method", choices=["dg", "hash", "kl"], default="dg")
     p.add_argument("--num-hops", type=int, default=1)
     p.add_argument("--ordering", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -32,8 +32,8 @@ def main(argv=None):
         load_dataset, partition_dir, save_dataset, save_partition,
     )
     from pagraph_tpu.partition import (
-        apply_reordering, dg_partition, hash_partition, partition_stats,
-        reorder_map,
+        apply_reordering, dg_partition, hash_partition, kl_partition,
+        partition_stats, reorder_map,
     )
 
     ds = load_dataset(args.dataset)
@@ -45,6 +45,9 @@ def main(argv=None):
     if args.method == "dg":
         parts = dg_partition(ds.graph, ds.train_nids, ds.labels,
                              args.partition, args.num_hops)
+    elif args.method == "kl":
+        parts = kl_partition(ds.graph, ds.train_nids, ds.labels,
+                             args.partition, args.num_hops, seed=args.seed)
     else:
         parts = hash_partition(ds.graph, ds.train_nids, ds.labels,
                                args.partition, args.num_hops, seed=args.seed)

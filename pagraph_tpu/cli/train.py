@@ -34,6 +34,9 @@ def main(argv=None):
                    help="print a final JSON summary line")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace here")
+    p.add_argument("--cpu-devices", type=int, default=0,
+                   help="run on N virtual host devices instead of the real "
+                        "chips (dry-run multi-partition anywhere)")
     common.add_model_flags(p)
     common.add_sampler_flags(p)
     common.add_cache_flags(p)
@@ -41,7 +44,8 @@ def main(argv=None):
     common.add_partition_flags(p)
     args = p.parse_args(argv)
 
-    common.setup_platform(fast_prng=args.fast_prng)
+    common.setup_platform(fast_prng=args.fast_prng,
+                          cpu_devices=args.cpu_devices)
     import jax
 
     from pagraph_tpu.data.formats import load_dataset

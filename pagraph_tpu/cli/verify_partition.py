@@ -84,7 +84,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="verify partition artifacts")
     p.add_argument("--dataset", type=str, required=True)
     p.add_argument("--partition", type=int, default=2)
-    p.add_argument("--method", choices=["dg", "hash"], default="dg")
+    p.add_argument("--method", choices=["dg", "hash", "kl"], default="dg")
     p.add_argument("--num-hops", type=int, default=1)
     p.add_argument("--plot", type=str, default=None,
                    help="write a colored graph drawing (small graphs only)")

@@ -45,6 +45,24 @@ def test_partition_and_verify_cli(ds_dir, capsys):
     assert all(r["ok"] for r in res["partitions"])
 
 
+def test_partition_cli_kl_method(ds_dir, capsys):
+    from pagraph_tpu.cli import partition, verify_partition
+
+    partition.main([
+        "--dataset", ds_dir, "--partition", "2", "--method", "kl",
+        "--num-hops", "2",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["num_parts"] == 2
+    verify_partition.main([
+        "--dataset", ds_dir, "--partition", "2", "--method", "kl",
+        "--num-hops", "2",
+    ])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["coverage_ok"]
+    assert all(r["ok"] for r in res["partitions"])
+
+
 def test_analyze_count_vnum(ds_dir, capsys):
     from pagraph_tpu.cli import analyze
 
