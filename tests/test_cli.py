@@ -116,6 +116,27 @@ def test_train_cli_single_epoch(ds_dir, capsys):
     assert np.isfinite(summary["final_loss"])
 
 
+def test_train_cli_multi_partition_kl(ds_dir):
+    """--partition 2 --method kl --cpu-devices: the multi-device CLI path.
+    In-process the backend is already the conftest 8-device CPU one, so
+    --cpu-devices is a no-op here beyond exercising its code path."""
+    from pagraph_tpu.cli import partition, train
+
+    partition.main([
+        "--dataset", ds_dir, "--partition", "2", "--method", "kl",
+        "--num-hops", "2",
+    ])
+    summary = train.main([
+        "--dataset", ds_dir, "--arch", "gcn", "--n-hidden", "8",
+        "--batch-size", "64", "--num-neighbors", "2", "--epochs", "2",
+        "--lr", "0.01", "--partition", "2", "--partition-method", "kl",
+        "--cpu-devices", "2",
+    ])
+    assert summary["epochs"] == 2
+    assert summary["num_devices"] == 2
+    assert np.isfinite(summary["final_loss"])
+
+
 def test_train_cli_on_device(ds_dir):
     """--on-device: whole-epoch-in-one-dispatch path through the CLI.
     (--fast-prng is intentionally NOT exercised here: it flips the global
