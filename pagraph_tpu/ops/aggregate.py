@@ -26,7 +26,18 @@ def gather_rows(h_src: jax.Array, positions: jax.Array) -> jax.Array:
 
 def block_self(h_src: jax.Array, block: Block) -> jax.Array:
     """Representation of each dst vertex itself: [cap_dst, D]."""
+    if block.prefix_layout:
+        return h_src[:block.cap_dst]
     return jnp.take(h_src, block.self_pos, axis=0)
+
+
+def _neigh_msgs(h_src: jax.Array, block: Block) -> jax.Array:
+    """Neighbor messages [cap_dst, fanout, D]: a contiguous slice+reshape in
+    prefix layout (no gather; backward is a pad, not a scatter-add)."""
+    if block.prefix_layout:
+        n, f = block.cap_dst, block.fanout
+        return h_src[n:n + n * f].reshape(n, f, h_src.shape[-1])
+    return jnp.take(h_src, block.neigh_pos, axis=0)
 
 
 def block_aggregate(
@@ -39,7 +50,7 @@ def block_aggregate(
     kind: 'mean' | 'sum' | 'max'.  Vertices with zero valid neighbors get a
     zero vector (DGL's empty-mailbox default, matched for parity).
     """
-    msgs = jnp.take(h_src, block.neigh_pos, axis=0)      # [cap_dst, fanout, D]
+    msgs = _neigh_msgs(h_src, block)                     # [cap_dst, fanout, D]
     mask = block.neigh_mask[..., None]                   # [cap_dst, fanout, 1]
     count = jnp.sum(block.neigh_mask, axis=1, keepdims=True)  # [cap_dst, 1]
     if kind == "sum":
@@ -63,7 +74,7 @@ def block_aggregate_lstm(
     state.  Masked steps carry state through unchanged, so padding slots do
     not perturb the result.  Implemented as ``lax.scan`` over the fanout axis.
     """
-    msgs = jnp.take(h_src, block.neigh_pos, axis=0)      # [cap_dst, F, D]
+    msgs = _neigh_msgs(h_src, block)                     # [cap_dst, F, D]
     mask = block.neigh_mask                              # [cap_dst, F]
     cap_dst, fanout, _ = msgs.shape
     hidden = lstm_params["w_hh"].shape[0]

@@ -43,6 +43,14 @@ class Block:
     neigh_pos: jax.Array    # int32 [cap_dst, fanout] positions into src layer
     neigh_mask: jax.Array   # bool  [cap_dst, fanout] valid sampled edge
     self_pos: jax.Array     # int32 [cap_dst] position of dst vertex in src layer
+    # Static layout promise: self_pos == arange(cap_dst) and
+    # neigh_pos == cap_dst + arange(cap_dst*fanout) (row-major).  The device
+    # sampler produces exactly this (layer i = [layer i+1 | neighbors]), and
+    # it turns every aggregation gather — and its backward scatter-add —
+    # into a contiguous slice/pad: pure data movement XLA fuses, instead of
+    # random-access HBM transactions (see CLAUDE.md "Gather ceiling").
+    prefix_layout: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def cap_dst(self) -> int:

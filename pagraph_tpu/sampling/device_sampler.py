@@ -124,6 +124,7 @@ def sample_minibatch_device(
                        ).reshape(n, fanout),
             neigh_mask=emask,
             self_pos=jnp.arange(n, dtype=jnp.int32),
+            prefix_layout=True,
         ))
         cur = jnp.concatenate([cur, nbr.reshape(-1)])
         curm = jnp.concatenate([curm, emask.reshape(-1)])

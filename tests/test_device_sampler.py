@@ -152,6 +152,37 @@ def test_on_device_unroll_equivalent(learn_ds):
     np.testing.assert_allclose(runs[0], runs[1], rtol=1e-6)
 
 
+def test_prefix_layout_equivalent_to_gather(tiny_ds):
+    """prefix_layout blocks aggregate bit-identically to the generic
+    pos-gather path (the device sampler's layout promise)."""
+    import dataclasses
+    from pagraph_tpu.ops.aggregate import (
+        block_aggregate, block_aggregate_lstm, block_self, init_lstm_params,
+    )
+
+    csr = DeviceCSR.from_graph(tiny_ds.graph)
+    seeds = jnp.arange(32, dtype=jnp.int32)
+    mb = sample_minibatch_device(csr, seeds, jnp.ones(32, bool), 2, 3,
+                                 jax.random.PRNGKey(7))
+    h = jnp.asarray(
+        np.random.default_rng(0).random((mb.layer_nids[0].shape[0], 16),
+                                        dtype=np.float32))
+    lstm_p = init_lstm_params(jax.random.PRNGKey(1), 16, 16)
+    for blk in mb.blocks:
+        assert blk.prefix_layout
+        gen = dataclasses.replace(blk, prefix_layout=False)
+        np.testing.assert_array_equal(
+            np.asarray(block_self(h, blk)), np.asarray(block_self(h, gen)))
+        for kind in ("mean", "sum", "max"):
+            np.testing.assert_array_equal(
+                np.asarray(block_aggregate(h, blk, kind)),
+                np.asarray(block_aggregate(h, gen, kind)))
+        np.testing.assert_array_equal(
+            np.asarray(block_aggregate_lstm(h, blk, lstm_p)),
+            np.asarray(block_aggregate_lstm(h, gen, lstm_p)))
+        h = block_aggregate(h, blk, "mean")
+
+
 def test_on_device_requires_full_cache(learn_ds):
     cfg = _cfg("gcn")
     cfg.cache.capacity = 50
