@@ -41,14 +41,29 @@ from .block import Block, MiniBatch
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DeviceCSR:
-    """HBM-resident in-neighbor CSR (int32 — XLA gathers are fastest on i32)."""
+    """HBM-resident in-neighbor CSR (int32 — XLA gathers are fastest on i32).
+
+    ``ptr_pairs[v] = (indptr[v], deg[v])`` packs both per-vertex pointer
+    lookups into ONE 8-byte row gather — the sampler's cost is HBM gather
+    transactions, not bytes (CLAUDE.md "Gather ceiling"), so halving the
+    pointer lookups cuts ~1/4 of them.  Filled by :meth:`with_pairs`
+    (call once per epoch dispatch, OUTSIDE the per-step scan).
+    """
 
     indptr: jax.Array    # int32 [N+1]
     indices: jax.Array   # int32 [E]
+    ptr_pairs: Optional[jax.Array] = None   # int32 [N, 2] (start, deg)
 
     @property
     def num_nodes(self) -> int:
         return self.indptr.shape[0] - 1
+
+    def with_pairs(self) -> "DeviceCSR":
+        if self.ptr_pairs is not None:
+            return self
+        pairs = jnp.stack(
+            [self.indptr[:-1], self.indptr[1:] - self.indptr[:-1]], axis=1)
+        return dataclasses.replace(self, ptr_pairs=pairs)
 
     @classmethod
     def from_graph(cls, graph: CSRGraph,
@@ -58,15 +73,22 @@ class DeviceCSR:
                 f"{graph.num_edges} edges overflow int32 indptr; "
                 "on-device sampling requires < 2^31 edges per partition"
             )
-        indptr = jnp.asarray(graph.indptr.astype(np.int32))
+        indptr32 = graph.indptr.astype(np.int32)
+        indptr = jnp.asarray(indptr32)
         indices = jnp.asarray(graph.indices)        # already int32
+        pairs = jnp.asarray(
+            np.stack([indptr32[:-1], np.diff(indptr32)], axis=1))
         if device is not None:
             indptr = jax.device_put(indptr, device)
             indices = jax.device_put(indices, device)
-        return cls(indptr=indptr, indices=indices)
+            pairs = jax.device_put(pairs, device)
+        return cls(indptr=indptr, indices=indices, ptr_pairs=pairs)
 
     def nbytes(self) -> int:
-        return 4 * (int(self.indptr.shape[0]) + int(self.indices.shape[0]))
+        n = 4 * (int(self.indptr.shape[0]) + int(self.indices.shape[0]))
+        if self.ptr_pairs is not None:
+            n += 4 * self.ptr_pairs.size
+        return n
 
 
 def sample_hop(
@@ -83,8 +105,12 @@ def sample_hop(
     sampler's ``_sample_fanout`` policy exactly.
     """
     n = dst.shape[0]
-    starts = jnp.take(csr.indptr, dst)
-    deg = jnp.take(csr.indptr, dst + 1) - starts
+    if csr.ptr_pairs is not None:
+        pairs = jnp.take(csr.ptr_pairs, dst, axis=0)     # one 8 B row each
+        starts, deg = pairs[:, 0], pairs[:, 1]
+    else:
+        starts = jnp.take(csr.indptr, dst)
+        deg = jnp.take(csr.indptr, dst + 1) - starts
     safe = jnp.maximum(deg, 1)
     k = jnp.arange(fanout, dtype=jnp.int32)[None, :]
     draws = jax.random.randint(key, (n, fanout), 0, jnp.int32(2**31 - 1),

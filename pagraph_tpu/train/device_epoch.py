@@ -163,7 +163,7 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         # drop the size-1 leading device axis inside the shard
         train_nids, train_count = train_nids[0], train_count[0]
         labels, cache_values = labels[0], cache_values[0]
-        csr = DeviceCSR(indptr=indptr[0], indices=indices[0])
+        csr = DeviceCSR(indptr=indptr[0], indices=indices[0]).with_pairs()
         rank = jax.lax.axis_index(axis)
         key = jax.random.fold_in(epoch_key, rank)
         perm_key, sample_key = jax.random.split(key)
@@ -293,7 +293,7 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                          indptr: jax.Array, indices: jax.Array,
                          feat_shard: jax.Array):
         metrics_acc = jnp.zeros(6, dtype=jnp.float32)
-        csr = DeviceCSR(indptr=indptr, indices=indices)
+        csr = DeviceCSR(indptr=indptr, indices=indices).with_pairs()
         feat_shard = feat_shard[0]            # [shard_rows, dim] my slice
         rank = jax.lax.axis_index(axis)
         # SHARED permutation (same replicated key on every chip): chip r
