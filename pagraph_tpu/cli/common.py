@@ -34,6 +34,10 @@ def add_sampler_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--prefetch", type=int, default=2)
     p.add_argument("--sampler-backend", choices=["auto", "numpy", "native"],
                    default="auto")
+    p.add_argument("--paired-draws", action="store_true",
+                   help="on-device sampler, fanout 2: draw both neighbors "
+                        "as one aligned adjacency pair (one HBM transaction "
+                        "instead of two; uniform marginals, correlated pair)")
 
 
 def add_cache_flags(p: argparse.ArgumentParser) -> None:
@@ -90,6 +94,7 @@ def build_config(args, *, feat_dim: int, n_classes: int) -> pg.Config:
             prefetch=args.prefetch,
             backend=args.sampler_backend,
             seed=args.seed,
+            paired_draws=getattr(args, "paired_draws", False),
         ),
         cache=pg.CacheConfig(
             enabled=not args.no_cache,

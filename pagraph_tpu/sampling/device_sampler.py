@@ -97,12 +97,22 @@ def sample_hop(
     dst_mask: jax.Array,   # bool  [n]
     fanout: int,
     key: jax.Array,
+    *,
+    paired: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Sample ``fanout`` in-neighbors per dst vertex, inside jit.
 
     Returns ``(nbr int32 [n, fanout], mask bool [n, fanout])``; masked slots
     hold vertex 0 (excluded from aggregation by the mask).  Mirrors the host
-    sampler's ``_sample_fanout`` policy exactly.
+    sampler's ``_sample_fanout`` policy exactly — except with
+    ``paired=True`` (fanout 2 only), where both draws come from one random
+    2-aligned pair of the adjacency list: one 8-byte gather instead of two
+    independent ones (the sampler is HBM-transaction-bound, CLAUDE.md
+    "Gather ceiling").  Per-slot marginals stay uniform (the partner map is
+    a bijection on [0, deg)); the two draws are correlated instead of
+    independent, and for odd-degree vertices the draw o == deg-1 yields a
+    duplicate pair (consistent with with-replacement semantics).  Vertices
+    with deg <= 2 return exactly the take-all result of the generic path.
     """
     n = dst.shape[0]
     if csr.ptr_pairs is not None:
@@ -112,6 +122,32 @@ def sample_hop(
         starts = jnp.take(csr.indptr, dst)
         deg = jnp.take(csr.indptr, dst + 1) - starts
     safe = jnp.maximum(deg, 1)
+
+    if paired and fanout == 2:
+        draws = jax.random.randint(key, (n,), 0, jnp.int32(2**31 - 1),
+                                   dtype=jnp.int32)
+        o = draws % safe
+        o = jnp.where(deg <= 2, 0, o)            # exact take-all, small deg
+        partner = o ^ 1
+        partner = jnp.where(partner < deg, partner, o)
+        flat = starts + (o & ~1)                 # aligned pair start
+        e = csr.indices.shape[0]
+        cs = jnp.minimum(flat, e - 2)            # clamp like dynamic_slice
+        shift = flat - cs                        # 1 only at the array tail,
+        #                                          where partner == o holds
+        pair = jax.vmap(
+            lambda i: jax.lax.dynamic_slice(csr.indices, (i,), (2,)))(cs)
+        sel = (o & 1) + shift                    # lane of element o
+        v1 = jnp.where(sel == 0, pair[:, 0], pair[:, 1])
+        vo = jnp.where(sel == 0, pair[:, 1], pair[:, 0])
+        v2 = jnp.where(partner == o, v1, vo)
+        nbr = jnp.stack([v1, v2], axis=1)
+        k = jnp.arange(2, dtype=jnp.int32)[None, :]
+        mask = jnp.where(deg[:, None] <= 2, k < deg[:, None],
+                         (deg > 0)[:, None])
+        mask = jnp.logical_and(mask, dst_mask[:, None])
+        return jnp.where(mask, nbr, 0), mask
+
     k = jnp.arange(fanout, dtype=jnp.int32)[None, :]
     draws = jax.random.randint(key, (n, fanout), 0, jnp.int32(2**31 - 1),
                                dtype=jnp.int32)
@@ -131,6 +167,7 @@ def sample_minibatch_device(
     fanout: int,
     key: jax.Array,
     labels: Optional[jax.Array] = None,   # int32 [N] per-vertex labels
+    paired: bool = False,
 ) -> MiniBatch:
     """Expand ``seeds`` into a padded :class:`MiniBatch`, fully on device.
 
@@ -143,7 +180,8 @@ def sample_minibatch_device(
     blocks_rev = []
     cur, curm = layers[0]
     for hop in range(num_hops):
-        nbr, emask = sample_hop(csr, cur, curm, fanout, keys[hop])
+        nbr, emask = sample_hop(csr, cur, curm, fanout, keys[hop],
+                                paired=paired)
         n = cur.shape[0]
         blocks_rev.append(Block(
             neigh_pos=(n + jnp.arange(n * fanout, dtype=jnp.int32)

@@ -55,6 +55,7 @@ def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     B = cfg.sampler.batch_size
     hops = cfg.sampler.num_hops
     fanout = cfg.sampler.fanout
+    paired = cfg.sampler.paired_draws
     if not cfg.sampler.include_self:
         raise ValueError("on-device sampling requires include_self=True")
 
@@ -80,7 +81,8 @@ def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
             state, acc = carry
             seeds, smask, skey = xs
             mb = sample_minibatch_device(
-                csr, seeds, smask, hops, fanout, skey, labels=labels
+                csr, seeds, smask, hops, fanout, skey, labels=labels,
+                paired=paired,
             )
             rng, sub = jax.random.split(state.rng)
             fused = jnp.take(cache_values, mb.input_nids, axis=0
@@ -152,6 +154,7 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     B = cfg.sampler.batch_size
     hops = cfg.sampler.num_hops
     fanout = cfg.sampler.fanout
+    paired = cfg.sampler.paired_draws
     if not cfg.sampler.include_self:
         raise ValueError("on-device sampling requires include_self=True")
 
@@ -189,7 +192,8 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
             state, acc = carry
             seeds, smask, skey = xs
             mb = sample_minibatch_device(
-                csr, seeds, smask, hops, fanout, skey, labels=labels
+                csr, seeds, smask, hops, fanout, skey, labels=labels,
+                paired=paired,
             )
             rng, sub = jax.random.split(state.rng)
             sub = jax.random.fold_in(sub, rank)
@@ -284,6 +288,7 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     B = cfg.sampler.batch_size
     hops = cfg.sampler.num_hops
     fanout = cfg.sampler.fanout
+    paired = cfg.sampler.paired_draws
     D = mesh.devices.size
     if not cfg.sampler.include_self:
         raise ValueError("on-device sampling requires include_self=True")
@@ -320,7 +325,8 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
             state, acc = carry
             seeds, smask, skey = xs
             mb = sample_minibatch_device(
-                csr, seeds, smask, hops, fanout, skey, labels=labels
+                csr, seeds, smask, hops, fanout, skey, labels=labels,
+                paired=paired,
             )
             rng, sub = jax.random.split(state.rng)
             sub = jax.random.fold_in(sub, rank)
@@ -411,6 +417,7 @@ def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     B = cfg.sampler.batch_size
     hops = cfg.sampler.num_hops
     fanout = cfg.sampler.fanout
+    paired = cfg.sampler.paired_draws
 
     @partial(jax.jit, donate_argnames=("state", "hists", "aggs"))
     def epoch_fn(state: TrainState, hists, aggs, epoch_key: jax.Array,
@@ -433,7 +440,8 @@ def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
             state, hists, aggs, acc = carry
             seeds, smask, skey = xs
             mb = sample_minibatch_device(
-                csr, seeds, smask, hops, fanout, skey, labels=labels
+                csr, seeds, smask, hops, fanout, skey, labels=labels,
+                paired=paired,
             )
             rng, sub = jax.random.split(state.rng)
             fused = jnp.take(cache_values, mb.input_nids, axis=0

@@ -152,6 +152,56 @@ def test_on_device_unroll_equivalent(learn_ds):
     np.testing.assert_allclose(runs[0], runs[1], rtol=1e-6)
 
 
+def test_paired_draws_policy(tiny_ds):
+    """paired=True: small-degree vertices match the generic path exactly;
+    large-degree vertices get valid in-neighbors with uniform per-slot
+    marginals (the partner map is a bijection)."""
+    g = tiny_ds.graph
+    csr = DeviceCSR.from_graph(g)
+    dst = jnp.arange(g.num_nodes, dtype=jnp.int32)
+    ones = jnp.ones(g.num_nodes, dtype=bool)
+    deg = g.in_degrees
+
+    nbr_g, m_g = sample_hop(csr, dst, ones, 2, jax.random.PRNGKey(0))
+    nbr_p, m_p = sample_hop(csr, dst, ones, 2, jax.random.PRNGKey(0),
+                            paired=True)
+    nbr_g, m_g = np.asarray(nbr_g), np.asarray(m_g)
+    nbr_p, m_p = np.asarray(nbr_p), np.asarray(m_p)
+    small = deg <= 2
+    np.testing.assert_array_equal(nbr_p[small], nbr_g[small])
+    np.testing.assert_array_equal(m_p, m_g)
+
+    # validity + marginal uniformity over many keys for high-degree vertices
+    big = np.nonzero(deg > 2)[0]
+    counts = {int(v): np.zeros(g.num_nodes, dtype=np.int64) for v in big[:5]}
+    K = 400
+    sample = jax.jit(lambda k: sample_hop(csr, dst, ones, 2, k, paired=True))
+    for i in range(K):
+        nbr, m = sample(jax.random.PRNGKey(100 + i))
+        nbr = np.asarray(nbr)
+        for v in counts:
+            assert set(nbr[v].tolist()) <= set(g.in_neighbors(v).tolist())
+            counts[v][nbr[v][0]] += 1
+            counts[v][nbr[v][1]] += 1
+    for v, c in counts.items():
+        nbrs = g.in_neighbors(v)
+        freq = c[nbrs] / (2 * K)
+        expected = 1.0 / deg[v]
+        # binomial noise at K=400 draws/slot: allow 4 sigma
+        sigma = np.sqrt(expected * (1 - expected) / (2 * K))
+        assert np.all(np.abs(freq - expected) < 4 * sigma + 1e-9), (
+            v, freq, expected)
+
+
+def test_paired_draws_training_runs(learn_ds):
+    cfg = _cfg("gcn")
+    cfg.sampler.paired_draws = True
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=3)
+    tr.train(3)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0]
+
+
 def test_prefix_layout_equivalent_to_gather(tiny_ds):
     """prefix_layout blocks aggregate bit-identically to the generic
     pos-gather path (the device sampler's layout promise)."""
