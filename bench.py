@@ -154,7 +154,7 @@ def main():
     ds = build_dataset(cache_dir)
 
     phases = os.environ.get("PAGRAPH_BENCH_PHASES",
-                            "baseline,partial,full,device")
+                            "baseline,partial,full,device,paired")
     base = partial = None
     if "baseline" in phases:
         log("[bench] baseline (no HBM cache)...")

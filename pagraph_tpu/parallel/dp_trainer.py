@@ -66,6 +66,8 @@ class DataParallelTrainer:
         self._full_graph = full_graph
         self._full_train_nids = full_train_nids
         self._full_labels = full_labels
+        self._epoch_edges = 0
+        self._epoch_vertices = 0
 
         field_names = ["features"]
         if cfg.model.arch == "graphsage" and cfg.model.preprocess:
@@ -325,6 +327,11 @@ class DataParallelTrainer:
             except StopIteration:
                 iters[r] = self.samplers[r].epoch()       # wrap: make-up batch
                 mb = next(iters[r])
+            # reference counts loaded vertices per epoch
+            # (examples/count_vnum.py:16-20); we also count sampled edges
+            self._epoch_edges += mb.num_sampled_edges()
+            self._epoch_vertices += int(
+                sum(np.asarray(m).sum() for m in mb.layer_mask))
             mbs.append(mb)
         return mbs
 
@@ -394,6 +401,8 @@ class DataParallelTrainer:
     def run_epoch(self, epoch: int = 0) -> EpochMetrics:
         if self._device_mode:
             return self._run_epoch_on_device(epoch)
+        self._epoch_edges = 0
+        self._epoch_vertices = 0
         ici = self.feature_source == "ici"
         if not ici and self._cache_stacked is None:
             self.fill_caches()
@@ -431,6 +440,8 @@ class DataParallelTrainer:
             time_s=time.perf_counter() - t0,
             miss_rate=miss,
             num_batches=nb,
+            edges=self._epoch_edges,
+            vertices=self._epoch_vertices,
         )
         self.epoch_metrics.append(em)
         if self.log:

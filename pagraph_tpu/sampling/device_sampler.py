@@ -91,6 +91,35 @@ class DeviceCSR:
         return n
 
 
+def _vertex_ptrs(
+    csr: DeviceCSR,
+    dst: jax.Array,
+    prefix: Optional[tuple[jax.Array, jax.Array]] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fetch ``(start, deg)`` per dst vertex — one 8 B gather each.
+
+    ``prefix`` supplies already-fetched pointers for the leading entries of
+    ``dst`` (the sampler's layers are prefix-subsets, so hop ``h+1``'s dst
+    begins with hop ``h``'s dst, whose pointers were fetched last hop —
+    re-gathering them would waste HBM transactions, the sampler's bound).
+    """
+    if prefix is not None:
+        ps, pd = prefix
+        rest = dst[ps.shape[0]:]
+    else:
+        rest = dst
+    if csr.ptr_pairs is not None:
+        pairs = jnp.take(csr.ptr_pairs, rest, axis=0)    # one 8 B row each
+        starts, deg = pairs[:, 0], pairs[:, 1]
+    else:
+        starts = jnp.take(csr.indptr, rest)
+        deg = jnp.take(csr.indptr, rest + 1) - starts
+    if prefix is not None:
+        starts = jnp.concatenate([ps, starts])
+        deg = jnp.concatenate([pd, deg])
+    return starts, deg
+
+
 def sample_hop(
     csr: DeviceCSR,
     dst: jax.Array,        # int32 [n] vertex ids
@@ -99,6 +128,7 @@ def sample_hop(
     key: jax.Array,
     *,
     paired: bool = False,
+    ptrs: Optional[tuple[jax.Array, jax.Array]] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Sample ``fanout`` in-neighbors per dst vertex, inside jit.
 
@@ -115,12 +145,7 @@ def sample_hop(
     with deg <= 2 return exactly the take-all result of the generic path.
     """
     n = dst.shape[0]
-    if csr.ptr_pairs is not None:
-        pairs = jnp.take(csr.ptr_pairs, dst, axis=0)     # one 8 B row each
-        starts, deg = pairs[:, 0], pairs[:, 1]
-    else:
-        starts = jnp.take(csr.indptr, dst)
-        deg = jnp.take(csr.indptr, dst + 1) - starts
+    starts, deg = ptrs if ptrs is not None else _vertex_ptrs(csr, dst)
     safe = jnp.maximum(deg, 1)
 
     if paired and fanout == 2:
@@ -179,9 +204,12 @@ def sample_minibatch_device(
     layers = [(seeds.astype(jnp.int32), seed_mask)]
     blocks_rev = []
     cur, curm = layers[0]
+    ptrs = None
     for hop in range(num_hops):
+        # hop h's dst is a prefix of hop h+1's dst: reuse fetched pointers
+        ptrs = _vertex_ptrs(csr, cur, prefix=ptrs)
         nbr, emask = sample_hop(csr, cur, curm, fanout, keys[hop],
-                                paired=paired)
+                                paired=paired, ptrs=ptrs)
         n = cur.shape[0]
         blocks_rev.append(Block(
             neigh_pos=(n + jnp.arange(n * fanout, dtype=jnp.int32)

@@ -151,3 +151,20 @@ def test_train_cli_on_device(ds_dir):
     assert summary["epochs"] == 2
     assert np.isfinite(summary["final_loss"])
     assert summary["miss_rate"] == 0.0
+
+
+def test_scalebench_cli(ds_dir):
+    """Scaling harness: 1- and 2-device runs of the same workload, with
+    efficiency reported relative to the 1-device edges/s."""
+    from pagraph_tpu.cli import scalebench
+
+    result = scalebench.main([
+        "--dataset", ds_dir, "--arch", "gcn", "--n-hidden", "8",
+        "--batch-size", "64", "--num-neighbors", "2", "--epochs", "2",
+        "--lr", "0.01", "--device-counts", "1,2",
+    ])
+    assert [r["devices"] for r in result["runs"]] == [1, 2]
+    for r in result["runs"]:
+        assert r["edges_per_s"] > 0
+        assert np.isfinite(r["final_loss"])
+    assert result["runs"][0]["efficiency"] == pytest.approx(1.0)
