@@ -184,4 +184,94 @@ void pg_gather_rows2_f32(const float* a, int64_t dim_a,
   }
 }
 
+// Computation-aware greedy assignment (PaGraph "dg", SoCC'20 §4.1), the
+// scalable path for partition/dg_part.py:dg_assign — bit-identical to the
+// numpy stream (same double arithmetic, same exact-equality tie handling,
+// reference: PaGraph/partition/dg.py:30-103).  The greedy stream is
+// inherently sequential; this removes the per-vertex Python/numpy overhead
+// (the SURVEY.md "hard part": O(train · |N_hops|) at papers100M scale).
+//
+//   indptr/indices  in-CSR of the full graph
+//   train_nids      [num_train] int64, streamed in this order
+//   avg             balance target train_frac * V / P
+//   out             [num_train] int32 partition per train vertex
+//
+// Scratch is allocated internally: 4 B stamp + 4 B belongs per vertex plus
+// num_parts bitmaps of num_nodes bits.
+int pg_dg_assign(const int64_t* indptr, const int32_t* indices,
+                 int64_t num_nodes,
+                 const int64_t* train_nids, int64_t num_train,
+                 int32_t num_parts, int32_t hops, double avg,
+                 int32_t* out) {
+  if (num_parts <= 0 || hops < 0) return -1;
+  std::vector<int32_t> belongs(num_nodes, -1);
+  std::vector<int64_t> stamp(num_nodes, -1);
+  const int64_t words = (num_nodes + 63) / 64;
+  std::vector<uint64_t> closure((size_t)num_parts * words, 0);
+  std::vector<int64_t> p_vnum(num_parts, 0), r_vnum(num_parts, 0);
+  std::vector<double> com(num_parts), score(num_parts);
+  std::vector<int32_t> neigh, frontier, next;
+  for (int64_t i = 0; i < num_train; ++i) {
+    const int64_t nid = train_nids[i];
+    if (nid < 0 || nid >= num_nodes) return -2;
+    // hops-level in-BFS, deduplicated, excluding nid itself
+    // (matches _hop_neighbors / reference in_neighbors_hop, dg.py:18-27)
+    neigh.clear();
+    frontier.clear();
+    stamp[nid] = i;
+    frontier.push_back((int32_t)nid);
+    for (int32_t h = 0; h < hops; ++h) {
+      next.clear();
+      for (int32_t v : frontier) {
+        for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+          const int32_t u = indices[e];
+          if (stamp[u] != i) {
+            stamp[u] = i;
+            next.push_back(u);
+            neigh.push_back(u);
+          }
+        }
+      }
+      if (next.empty()) break;
+      frontier.swap(next);
+    }
+    for (int32_t p = 0; p < num_parts; ++p) com[p] = 1.0;
+    for (int32_t u : neigh) {
+      const int32_t b = belongs[u];
+      if (b >= 0) com[b] += 1.0;
+    }
+    double best = -1.0 / 0.0;
+    for (int32_t p = 0; p < num_parts; ++p) {
+      score[p] = com[p] * (avg - (double)p_vnum[p]) / ((double)r_vnum[p] + 1.0);
+      if (score[p] > best) best = score[p];
+    }
+    // ties break to the smallest partition, first occurrence on equal size
+    int32_t pick = 0;
+    int64_t pick_vnum = INT64_MAX;
+    for (int32_t p = 0; p < num_parts; ++p) {
+      if (score[p] == best && p_vnum[p] < pick_vnum) {
+        pick_vnum = p_vnum[p];
+        pick = p;
+      }
+    }
+    out[i] = pick;
+    belongs[nid] = pick;
+    p_vnum[pick] += 1;
+    uint64_t* bm = closure.data() + (size_t)pick * words;
+    int64_t fresh = 0;
+    auto touch = [&](int64_t v) {
+      const uint64_t m = 1ULL << (v & 63);
+      uint64_t& w = bm[v >> 6];
+      if (!(w & m)) {
+        w |= m;
+        ++fresh;
+      }
+    };
+    for (int32_t u : neigh) touch(u);
+    touch(nid);
+    r_vnum[pick] += fresh;
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -50,17 +50,30 @@ def dg_assign(
     hops: int,
     *,
     train_frac: Optional[float] = None,
+    backend: str = "auto",           # auto | numpy | native
 ) -> np.ndarray:
     """Stream train vertices through the greedy scorer.
 
     Returns ``belongs``: partition id per train vertex (aligned with
-    ``train_nids`` order).
+    ``train_nids`` order).  ``backend="native"`` runs the identical stream
+    in C++ (``native/pagraph_native.cpp`` ``pg_dg_assign``) — bit-identical
+    output, needed at papers100M scale where the per-vertex numpy stream is
+    the bottleneck (SURVEY.md §7 hard parts); ``auto`` prefers native and
+    falls back to numpy if the toolchain is unavailable.
     """
     n = graph.num_nodes
     train_nids = np.asarray(train_nids, dtype=np.int64)
     if train_frac is None:
         train_frac = len(train_nids) / max(n, 1)
     avg = train_frac * n / num_parts
+
+    if backend in ("auto", "native"):
+        try:
+            from ..sampling.native import dg_assign_native
+            return dg_assign_native(graph, train_nids, num_parts, hops, avg)
+        except Exception:
+            if backend == "native":
+                raise
 
     train_belongs = np.full(n, -1, dtype=np.int32)   # train vertex -> part
     in_closure = np.zeros((num_parts, n), dtype=bool)  # redundancy bitmap
@@ -99,9 +112,10 @@ def dg_partition(
     hops: int,
     *,
     train_frac: Optional[float] = None,
+    backend: str = "auto",
 ) -> List[PartitionArtifact]:
     belongs = dg_assign(graph, train_nids, num_parts, hops,
-                        train_frac=train_frac)
+                        train_frac=train_frac, backend=backend)
     parts = []
     for p in range(num_parts):
         chunk = np.asarray(train_nids)[belongs == p]

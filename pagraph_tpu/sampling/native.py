@@ -62,6 +62,14 @@ def get_lib() -> ctypes.CDLL:
         lib.pg_gather_rows_f32.argtypes = [
             _f32p, ctypes.c_int64, ctypes.c_int64, _i64p, ctypes.c_int64, _f32p,
         ]
+        lib.pg_dg_assign.restype = ctypes.c_int
+        lib.pg_dg_assign.argtypes = [
+            _i64p, _i32p, ctypes.c_int64,             # indptr, indices, n
+            _i64p, ctypes.c_int64,                    # train_nids, num_train
+            ctypes.c_int32, ctypes.c_int32,           # num_parts, hops
+            ctypes.c_double,                          # avg
+            _i32p,                                    # out belongs
+        ]
         _lib = lib
         return lib
 
@@ -150,4 +158,24 @@ def gather_rows_f32(src: np.ndarray, ids: np.ndarray,
         ctypes.c_int64(src.shape[1]), _ptr(ids, _i64p),
         ctypes.c_int64(len(ids)), _ptr(out, _f32p),
     )
+    return out
+
+
+def dg_assign_native(graph: CSRGraph, train_nids: np.ndarray,
+                     num_parts: int, hops: int, avg: float) -> np.ndarray:
+    """C++ greedy dg assignment — bit-identical to the numpy stream in
+    ``partition.dg_part.dg_assign`` (same double arithmetic and tie rules),
+    minus the per-vertex Python overhead (the papers100M-scale path)."""
+    lib = get_lib()
+    train_nids = np.ascontiguousarray(train_nids, dtype=np.int64)
+    out = np.empty(len(train_nids), dtype=np.int32)
+    rc = lib.pg_dg_assign(
+        _ptr(graph.indptr, _i64p), _ptr(graph.indices, _i32p),
+        ctypes.c_int64(graph.num_nodes),
+        _ptr(train_nids, _i64p), ctypes.c_int64(len(train_nids)),
+        ctypes.c_int32(num_parts), ctypes.c_int32(hops),
+        ctypes.c_double(avg), _ptr(out, _i32p),
+    )
+    if rc != 0:
+        raise ValueError(f"native dg_assign failed (rc={rc})")
     return out

@@ -144,3 +144,18 @@ def test_partition_training_runs(small_ds):
     tr = Trainer.from_partition(cfg, parts[0], store, seed=0)
     tr.train(2)
     assert tr.epoch_metrics[-1].mean_loss < 10
+
+
+def test_dg_assign_native_matches_numpy():
+    """pg_dg_assign (C++) must reproduce the numpy greedy stream exactly:
+    same scores, same exact-equality tie handling, same closure accounting."""
+    from pagraph_tpu.data.synthetic import synthetic_dataset
+    from pagraph_tpu.partition.dg_part import dg_assign
+
+    ds = synthetic_dataset(num_nodes=600, num_edges=5000, feat_dim=4,
+                           num_classes=3, seed=5)
+    train = np.nonzero(ds.train_mask)[0]
+    for parts, hops in [(2, 1), (3, 2), (4, 2)]:
+        ref = dg_assign(ds.graph, train, parts, hops, backend="numpy")
+        nat = dg_assign(ds.graph, train, parts, hops, backend="native")
+        np.testing.assert_array_equal(ref, nat)
