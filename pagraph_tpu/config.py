@@ -17,13 +17,14 @@ from typing import Optional, Tuple
 
 @dataclasses.dataclass
 class ModelConfig:
-    arch: str = "gcn"                 # gcn | graphsage | gcn_cv
+    arch: str = "gcn"                 # gcn | graphsage | gcn_cv | gat
     n_layers: int = 1                 # hidden layers (reference convention: total GNN layers = n_layers + 1)
     hidden: int = 32
     feat_dim: int = 600
     n_classes: int = 60
     dropout: float = 0.2
     aggregator: str = "mean"          # graphsage: mean | gcn | pool | lstm
+    num_heads: int = 4                # gat: attention heads per layer
     preprocess: bool = False          # layer-0 pre-aggregated server-side
     skip_connection: bool = True      # cat((h, act(h))) on the last hidden
                                       # layer; False = the reference's plain
@@ -133,7 +134,7 @@ class Config:
 
     def validate(self) -> None:
         m, s = self.model, self.sampler
-        if m.arch not in ("gcn", "graphsage", "gcn_cv"):
+        if m.arch not in ("gcn", "graphsage", "gcn_cv", "gat"):
             raise ValueError(f"unknown arch {m.arch!r}")
         if m.aggregator not in ("mean", "gcn", "pool", "lstm"):
             raise ValueError(f"unknown aggregator {m.aggregator!r}")
@@ -142,6 +143,14 @@ class Config:
                 "gcn_cv consumes pre-aggregated layer-0 features: set "
                 "model.preprocess=True (reference: gcn_cvsc.py:69)"
             )
+        if m.arch == "gat":
+            if m.preprocess:
+                raise ValueError(
+                    "gat needs raw per-neighbor features: preprocess "
+                    "pre-aggregation is incompatible with attention"
+                )
+            if m.num_heads < 1:
+                raise ValueError("gat needs num_heads >= 1")
         # The one cross-phase contract the reference leaves to the user:
         if s.num_hops != m.num_sampled_hops:
             raise ValueError(

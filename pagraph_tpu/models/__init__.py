@@ -20,4 +20,7 @@ def get_model(cfg: ModelConfig) -> Tuple[Callable, Callable]:
     if cfg.arch == "gcn_cv":
         from . import gcn_cv
         return gcn_cv.init_params, gcn_cv.apply
+    if cfg.arch == "gat":
+        from . import gat
+        return gat.init_params, gat.apply
     raise ValueError(f"unknown arch {cfg.arch!r}")

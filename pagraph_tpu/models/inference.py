@@ -178,7 +178,45 @@ def full_graph_logits(
             else:
                 h = out
         return h
+    if cfg.arch == "gat":
+        return _gat_full_graph_host(params, cfg, graph, h)
     raise NotImplementedError(f"full-graph inference for {cfg.arch}")
+
+
+def _gat_full_graph_host(params: dict, cfg: ModelConfig, graph: CSRGraph,
+                         h: np.ndarray) -> np.ndarray:
+    """Exact full-neighborhood GAT: per-dst softmax over ALL in-edges plus
+    the self-loop (training softmaxes over the sampled fanout; inference
+    over the full neighborhood, mirroring the GCN train/infer split)."""
+    def leaky(x):
+        return np.where(x > 0, x, 0.2 * x)
+
+    n = graph.num_nodes
+    indptr, indices = graph.indptr, graph.indices
+    dst_e = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    layers = params["layers"]
+    last = len(layers) - 1
+    for li, p in enumerate(layers):
+        K = np.asarray(p["a_self"]).shape[0]
+        z = (h @ np.asarray(p["w"])).reshape(n, K, -1)       # [N, K, H]
+        att_s = np.einsum("nkh,kh->nk", z, np.asarray(p["a_self"]))
+        att_n = np.einsum("nkh,kh->nk", z, np.asarray(p["a_neigh"]))
+        e = leaky(att_s[dst_e] + att_n[indices])             # [E, K]
+        e_self = leaky(att_s + att_n)                        # [N, K]
+        m = e_self.copy()                                    # running max
+        np.maximum.at(m, dst_e, e)
+        w_e = np.exp(e - m[dst_e])
+        w_s = np.exp(e_self - m)
+        den = w_s.copy()
+        np.add.at(den, dst_e, w_e)
+        out = (w_s / den)[:, :, None] * z
+        np.add.at(out, dst_e, (w_e / den[dst_e])[:, :, None] * z[indices])
+        if li == last:
+            h = out.mean(axis=1)
+        else:
+            o = out.reshape(n, -1)
+            h = np.where(o > 0, o, np.expm1(np.minimum(o, 0.0)))  # elu
+    return h
 
 
 def _full_graph_logits_device(params: dict, cfg: ModelConfig,
