@@ -32,11 +32,12 @@ def block_self(h_src: jax.Array, block: Block) -> jax.Array:
 
 
 def _neigh_msgs(h_src: jax.Array, block: Block) -> jax.Array:
-    """Neighbor messages [cap_dst, fanout, D]: a contiguous slice+reshape in
-    prefix layout (no gather; backward is a pad, not a scatter-add)."""
+    """Neighbor messages [cap_dst, fanout, *feat_dims]: a contiguous
+    slice+reshape in prefix layout (no gather; backward is a pad, not a
+    scatter-add).  Trailing dims pass through (GAT feeds [cap, heads, H])."""
     if block.prefix_layout:
         n, f = block.cap_dst, block.fanout
-        return h_src[n:n + n * f].reshape(n, f, h_src.shape[-1])
+        return h_src[n:n + n * f].reshape(n, f, *h_src.shape[1:])
     return jnp.take(h_src, block.neigh_pos, axis=0)
 
 

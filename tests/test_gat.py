@@ -130,3 +130,15 @@ def test_gat_config_validation():
                                  feat_dim=16, n_classes=5, preprocess=True),
             sampler=pg.SamplerConfig(batch_size=32, fanout=2, num_hops=1),
         )
+
+
+def test_gat_on_device_epoch(learn_ds):
+    """gat composes with the whole-epoch-in-one-dispatch path (the block
+    ops are prefix-layout aware, so no model-specific wiring is needed)."""
+    cfg = _cfg()
+    cfg.model.dropout = 0.1
+    cfg.train.on_device_sampling = True
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(4)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0] * 0.9, losses
