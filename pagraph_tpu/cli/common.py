@@ -35,9 +35,9 @@ def add_sampler_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--sampler-backend", choices=["auto", "numpy", "native"],
                    default="auto")
     p.add_argument("--paired-draws", action="store_true",
-                   help="on-device sampler, fanout 2: draw both neighbors "
-                        "as one aligned adjacency pair (one HBM transaction "
-                        "instead of two; uniform marginals, correlated pair)")
+                   help="on-device sampler: draw neighbor slots as aligned "
+                        "adjacency pairs (one HBM transaction per two slots; "
+                        "uniform marginals, correlated within a pair)")
 
 
 def add_cache_flags(p: argparse.ArgumentParser) -> None:

@@ -52,12 +52,12 @@ class SamplerConfig:
     backend: str = "auto"             # auto | numpy | native
     prefetch: int = 2                 # batches in flight (loader double-buffering)
     seed: int = 0
-    paired_draws: bool = False        # on-device sampler, fanout 2 only:
-                                      # draw both neighbors as one random
-                                      # ALIGNED pair from the adjacency list
-                                      # (one 8 B gather instead of two).
-                                      # Per-slot marginals stay uniform; the
-                                      # two draws are correlated (adjacent)
+    paired_draws: bool = False        # on-device sampler: draw each pair of
+                                      # neighbor slots as one random ALIGNED
+                                      # pair from the adjacency list (one
+                                      # 8 B gather instead of two).  Per-slot
+                                      # marginals stay uniform; slots within
+                                      # a pair are correlated (adjacent)
                                       # instead of independent — a TPU
                                       # transaction-count optimization
 

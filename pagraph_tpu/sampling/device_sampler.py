@@ -135,14 +135,15 @@ def sample_hop(
     Returns ``(nbr int32 [n, fanout], mask bool [n, fanout])``; masked slots
     hold vertex 0 (excluded from aggregation by the mask).  Mirrors the host
     sampler's ``_sample_fanout`` policy exactly — except with
-    ``paired=True`` (fanout 2 only), where both draws come from one random
+    ``paired=True``, where each consecutive slot pair comes from one random
     2-aligned pair of the adjacency list: one 8-byte gather instead of two
     independent ones (the sampler is HBM-transaction-bound, CLAUDE.md
     "Gather ceiling").  Per-slot marginals stay uniform (the partner map is
-    a bijection on [0, deg)); the two draws are correlated instead of
-    independent, and for odd-degree vertices the draw o == deg-1 yields a
-    duplicate pair (consistent with with-replacement semantics).  Vertices
-    with deg <= 2 return exactly the take-all result of the generic path.
+    a bijection on [0, deg)); the two draws within a pair are correlated
+    instead of independent (distinct pairs stay independent), and for
+    odd-degree vertices the draw o == deg-1 yields a duplicate pair
+    (consistent with with-replacement semantics).  Take-all vertices
+    (deg <= fanout) return exactly the generic path's result.
     """
     n = dst.shape[0]
     starts, deg = ptrs if ptrs is not None else _vertex_ptrs(csr, dst)
@@ -170,6 +171,46 @@ def sample_hop(
         k = jnp.arange(2, dtype=jnp.int32)[None, :]
         mask = jnp.where(deg[:, None] <= 2, k < deg[:, None],
                          (deg > 0)[:, None])
+        mask = jnp.logical_and(mask, dst_mask[:, None])
+        return jnp.where(mask, nbr, 0), mask
+
+    if paired and fanout > 2:
+        # generalization: fanout//2 independent aligned pairs (+ one single
+        # draw for odd fanout) — halves the index-gather transaction count.
+        # Take-all (deg <= fanout) pins pair j to elements (2j, 2j+1), which
+        # reproduces the generic path's valid slots exactly (masked slots
+        # are zeroed either way).
+        npairs = fanout // 2
+        e = csr.indices.shape[0]
+        small = deg[:, None] <= fanout
+        draws = jax.random.randint(key, (n, npairs), 0, jnp.int32(2**31 - 1),
+                                   dtype=jnp.int32)
+        o = draws % safe[:, None]
+        o = jnp.where(small, 2 * jnp.arange(npairs, dtype=jnp.int32)[None, :],
+                      o)
+        partner = o ^ 1
+        partner = jnp.where(partner < deg[:, None], partner, o)
+        flat = starts[:, None] + (o & ~1)
+        cs = jnp.minimum(jnp.maximum(flat, 0), e - 2)
+        shift = flat - cs
+        pair = jax.vmap(
+            lambda i: jax.lax.dynamic_slice(csr.indices, (i,), (2,))
+        )(cs.ravel()).reshape(n, npairs, 2)
+        sel = (o & 1) + shift                 # != 0 -> element o is lane 1
+        v1 = jnp.where(sel == 0, pair[..., 0], pair[..., 1])
+        vo = jnp.where(sel == 0, pair[..., 1], pair[..., 0])
+        v2 = jnp.where(partner == o, v1, vo)
+        nbr = jnp.stack([v1, v2], axis=2).reshape(n, 2 * npairs)
+        if fanout % 2:
+            xdraw = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0,
+                                       jnp.int32(2**31 - 1), dtype=jnp.int32)
+            xoff = jnp.where(deg <= fanout,
+                             jnp.int32(fanout - 1) % safe, xdraw % safe)
+            xv = jnp.take(csr.indices,
+                          jnp.minimum(starts + xoff, e - 1))
+            nbr = jnp.concatenate([nbr, xv[:, None]], axis=1)
+        k = jnp.arange(fanout, dtype=jnp.int32)[None, :]
+        mask = jnp.where(small, k < deg[:, None], (deg > 0)[:, None])
         mask = jnp.logical_and(mask, dst_mask[:, None])
         return jnp.where(mask, nbr, 0), mask
 

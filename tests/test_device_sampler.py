@@ -355,3 +355,44 @@ def test_cv_gcn_on_device_training(learn_ds):
         assert losses[-1] < losses[0] * 0.9, (on_device, losses)
         accs.append(tr.epoch_metrics[-1].mean_acc)
     assert abs(accs[0] - accs[1]) < 0.2, accs
+
+
+@pytest.mark.parametrize("fanout", [4, 5])
+def test_paired_draws_general_fanout(tiny_ds, fanout):
+    """Generalized paired draws (fanout > 2): take-all vertices match the
+    generic path exactly; high-degree vertices get valid neighbors with
+    uniform per-slot marginals."""
+    g = tiny_ds.graph
+    csr = DeviceCSR.from_graph(g)
+    dst = jnp.arange(g.num_nodes, dtype=jnp.int32)
+    ones = jnp.ones(g.num_nodes, dtype=bool)
+    deg = g.in_degrees
+
+    nbr_g, m_g = sample_hop(csr, dst, ones, fanout, jax.random.PRNGKey(0))
+    nbr_p, m_p = sample_hop(csr, dst, ones, fanout, jax.random.PRNGKey(0),
+                            paired=True)
+    nbr_g, m_g = np.asarray(nbr_g), np.asarray(m_g)
+    nbr_p, m_p = np.asarray(nbr_p), np.asarray(m_p)
+    small = deg <= fanout
+    np.testing.assert_array_equal(nbr_p[small], nbr_g[small])
+    np.testing.assert_array_equal(m_p, m_g)
+
+    big = np.nonzero(deg > fanout)[0]
+    counts = {int(v): np.zeros(g.num_nodes, dtype=np.int64) for v in big[:4]}
+    K = 300
+    sample = jax.jit(
+        lambda k: sample_hop(csr, dst, ones, fanout, k, paired=True))
+    for i in range(K):
+        nbr, m = sample(jax.random.PRNGKey(500 + i))
+        nbr = np.asarray(nbr)
+        for v in counts:
+            assert set(nbr[v].tolist()) <= set(g.in_neighbors(v).tolist())
+            for f in range(fanout):
+                counts[v][nbr[v][f]] += 1
+    for v, c in counts.items():
+        nbrs = g.in_neighbors(v)
+        freq = c[nbrs] / (fanout * K)
+        expected = 1.0 / deg[v]
+        sigma = np.sqrt(expected * (1 - expected) / (fanout * K))
+        assert np.all(np.abs(freq - expected) < 4.5 * sigma + 1e-9), (
+            v, freq, expected)
