@@ -24,6 +24,9 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dropout", type=float, default=0.2)
     p.add_argument("--agg", choices=["mean", "gcn", "pool", "lstm"],
                    default="mean")
+    p.add_argument("--num-heads", type=int, default=4,
+                   help="gat attention heads (must match the checkpoint "
+                        "when evaluating)")
     p.add_argument("--preprocess", action="store_true",
                    help="server-side layer-0 pre-aggregation (one hop less)")
 
@@ -83,6 +86,7 @@ def build_config(args, *, feat_dim: int, n_classes: int) -> pg.Config:
         n_classes=args.n_classes or n_classes,
         dropout=args.dropout,
         aggregator=args.agg,
+        num_heads=getattr(args, "num_heads", 4),
         preprocess=getattr(args, "preprocess", False),
     )
     cfg = pg.Config(

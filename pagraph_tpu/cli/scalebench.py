@@ -113,12 +113,14 @@ def main(argv=None):
     )
     cfg.train.epochs = args.epochs
 
+    raw = {c: run_one(cfg, ds, c, args.seed) for c in counts}
+    # per-device baseline = the smallest count measured (1-device when the
+    # list includes 1), independent of the order counts were given in
+    cmin = min(counts)
+    base_eps = raw[cmin][0] / cmin
     rows = []
-    base_eps = None
     for c in counts:
-        eps, summary = run_one(cfg, ds, c, args.seed)
-        if base_eps is None:
-            base_eps = eps / c  # per-device baseline from the first count
+        eps, summary = raw[c]
         eff = eps / (base_eps * c)
         rows.append({"devices": c, "edges_per_s": eps, "efficiency": eff,
                      "final_loss": summary["final_loss"]})

@@ -142,8 +142,13 @@ def full_graph_logits(
             "non-preprocess config (weights are compatible for gcn layers >0)"
         )
     if backend == "device":
-        return _full_graph_logits_device(params, cfg, graph, features,
-                                         edge_chunk)
+        if cfg.arch == "gat":
+            # per-dst softmax over variable-length edge lists has no
+            # chunked-device formulation here yet; host path is exact
+            backend = "host"
+        else:
+            return _full_graph_logits_device(params, cfg, graph, features,
+                                             edge_chunk)
     adj = _adj_csr(graph)
     norm = gcn_norm(graph)
     nl = cfg.n_layers

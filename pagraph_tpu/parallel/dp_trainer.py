@@ -327,11 +327,8 @@ class DataParallelTrainer:
             except StopIteration:
                 iters[r] = self.samplers[r].epoch()       # wrap: make-up batch
                 mb = next(iters[r])
-            # reference counts loaded vertices per epoch
-            # (examples/count_vnum.py:16-20); we also count sampled edges
             self._epoch_edges += mb.num_sampled_edges()
-            self._epoch_vertices += int(
-                sum(np.asarray(m).sum() for m in mb.layer_mask))
+            self._epoch_vertices += mb.num_loaded_vertices()
             mbs.append(mb)
         return mbs
 

@@ -20,6 +20,7 @@ in later for papers100M-scale inputs).
 """
 from __future__ import annotations
 
+import subprocess
 from typing import List, Optional
 
 import numpy as np
@@ -70,10 +71,20 @@ def dg_assign(
     if backend in ("auto", "native"):
         try:
             from ..sampling.native import dg_assign_native
-            return dg_assign_native(graph, train_nids, num_parts, hops, avg)
-        except Exception:
+        except ImportError:
+            dg_assign_native = None
             if backend == "native":
                 raise
+        if dg_assign_native is not None:
+            try:
+                return dg_assign_native(graph, train_nids, num_parts, hops,
+                                        avg)
+            # fall back only on toolchain problems (no g++, bad .so); data
+            # errors (rc != 0 -> ValueError) must surface, not silently
+            # rerun as an hours-long numpy stream
+            except (OSError, subprocess.CalledProcessError):
+                if backend == "native":
+                    raise
 
     train_belongs = np.full(n, -1, dtype=np.int32)   # train vertex -> part
     in_closure = np.zeros((num_parts, n), dtype=bool)  # redundancy bitmap

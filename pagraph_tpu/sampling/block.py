@@ -95,6 +95,12 @@ class MiniBatch:
         """Total valid sampled edges (host-side numpy batches only)."""
         return int(sum(np.asarray(b.neigh_mask).sum() for b in self.blocks))
 
+    def num_loaded_vertices(self) -> int:
+        """Total valid vertices across layers (host-side numpy batches only;
+        the reference's count_vnum metric, examples/count_vnum.py:16-20).
+        Single definition so all trainers' throughput accounting agrees."""
+        return int(sum(np.asarray(m).sum() for m in self.layer_mask))
+
 
 def pad_1d(arr: np.ndarray, cap: int, fill=0) -> np.ndarray:
     if len(arr) > cap:

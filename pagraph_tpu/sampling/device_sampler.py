@@ -149,37 +149,13 @@ def sample_hop(
     starts, deg = ptrs if ptrs is not None else _vertex_ptrs(csr, dst)
     safe = jnp.maximum(deg, 1)
 
-    if paired and fanout == 2:
-        draws = jax.random.randint(key, (n,), 0, jnp.int32(2**31 - 1),
-                                   dtype=jnp.int32)
-        o = draws % safe
-        o = jnp.where(deg <= 2, 0, o)            # exact take-all, small deg
-        partner = o ^ 1
-        partner = jnp.where(partner < deg, partner, o)
-        flat = starts + (o & ~1)                 # aligned pair start
-        e = csr.indices.shape[0]
-        cs = jnp.minimum(flat, e - 2)            # clamp like dynamic_slice
-        shift = flat - cs                        # 1 only at the array tail,
-        #                                          where partner == o holds
-        pair = jax.vmap(
-            lambda i: jax.lax.dynamic_slice(csr.indices, (i,), (2,)))(cs)
-        sel = (o & 1) + shift                    # lane of element o
-        v1 = jnp.where(sel == 0, pair[:, 0], pair[:, 1])
-        vo = jnp.where(sel == 0, pair[:, 1], pair[:, 0])
-        v2 = jnp.where(partner == o, v1, vo)
-        nbr = jnp.stack([v1, v2], axis=1)
-        k = jnp.arange(2, dtype=jnp.int32)[None, :]
-        mask = jnp.where(deg[:, None] <= 2, k < deg[:, None],
-                         (deg > 0)[:, None])
-        mask = jnp.logical_and(mask, dst_mask[:, None])
-        return jnp.where(mask, nbr, 0), mask
-
-    if paired and fanout > 2:
-        # generalization: fanout//2 independent aligned pairs (+ one single
-        # draw for odd fanout) — halves the index-gather transaction count.
-        # Take-all (deg <= fanout) pins pair j to elements (2j, 2j+1), which
+    if paired and fanout >= 2 and csr.indices.shape[0] >= 2:
+        # fanout//2 independent aligned pairs (+ one single draw for odd
+        # fanout) — halves the index-gather transaction count.  Take-all
+        # (deg <= fanout) pins pair j to elements (2j, 2j+1), which
         # reproduces the generic path's valid slots exactly (masked slots
-        # are zeroed either way).
+        # are zeroed either way).  Degenerate partitions with < 2 edges
+        # fall through to the generic path (dynamic_slice needs 2).
         npairs = fanout // 2
         e = csr.indices.shape[0]
         small = deg[:, None] <= fanout

@@ -72,9 +72,7 @@ class PrefetchLoader:
                     done_counter[1] += 1
                     # sampler scratch + stat counters are shared: update here
                     self.epoch_edges += mb.num_sampled_edges()
-                    self.epoch_vertices += int(
-                        sum(np.asarray(m).sum() for m in mb.layer_mask)
-                    )
+                    self.epoch_vertices += mb.num_loaded_vertices()
                 plan = self.cache.fetch_plan(
                     np.asarray(mb.input_nids), np.asarray(mb.input_mask)
                 )

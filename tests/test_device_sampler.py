@@ -396,3 +396,21 @@ def test_paired_draws_general_fanout(tiny_ds, fanout):
         sigma = np.sqrt(expected * (1 - expected) / (fanout * K))
         assert np.all(np.abs(freq - expected) < 4.5 * sigma + 1e-9), (
             v, freq, expected)
+
+
+def test_paired_draws_degenerate_partition():
+    """< 2 edges: paired must fall back to the generic path, not crash at
+    trace time (dynamic_slice of size 2 needs a 2-element indices array)."""
+    from pagraph_tpu.graph import CSRGraph
+
+    import scipy.sparse as sp
+    coo = sp.coo_matrix(([True], ([1], [0])), shape=(4, 4))
+    g = CSRGraph.from_coo(coo)
+    csr = DeviceCSR.from_graph(g)
+    dst = jnp.arange(4, dtype=jnp.int32)
+    ones = jnp.ones(4, dtype=bool)
+    nbr_p, m_p = sample_hop(csr, dst, ones, 2, jax.random.PRNGKey(0),
+                            paired=True)
+    nbr_g, m_g = sample_hop(csr, dst, ones, 2, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(nbr_p), np.asarray(nbr_g))
+    np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_g))
