@@ -1,0 +1,151 @@
+"""ogbn-products-scale benchmark: the BASELINE.md north-star workload.
+
+No network egress here, so the graph is a locally generated RMAT stand-in
+matching ogbn-products' shape: ~2.1M vertices (scale 21), ~55M edges after
+dedup (edge-factor 30), 100-dim features, 47 classes, ~8% train split
+(products: 196,615 of 2.45M).  Reports the north-star metrics
+(BASELINE.md: edges/s/chip + epochs/hr, GraphSAGE):
+
+    python benchmarks/products_bench.py [--epochs 6] [--standard]
+
+Default workload is the reference's apples-to-apples shape (batch 6000,
+fan-out 2, 2 layers, hidden 16 — pa_gs.py defaults).  ``--standard`` runs
+the shape the OGB leaderboard uses for products instead (batch 1024,
+fan-out 5x3 layers, hidden 256).  Both use the on-device epoch path
+(sampling inside jit from HBM-resident CSR; graph + features fit v5e HBM:
+55M-edge CSR = 0.23 GB, features = 0.86 GB).
+
+Prints one JSON line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_dataset(cache_dir: str, scale: int, edge_factor: int, feat: int):
+    from pagraph_tpu.data.formats import Dataset
+    from pagraph_tpu.data.synthetic import random_split_masks, rmat_coo
+    from pagraph_tpu.graph import CSRGraph
+    from pagraph_tpu.utils.platform import parallel_random
+
+    path = os.path.join(cache_dir, f"products_rmat{scale}x{edge_factor}")
+    marker = os.path.join(path, "ok")
+    t0 = time.time()
+    if os.path.exists(marker):
+        ld = lambda n: np.load(os.path.join(path, n + ".npy"))
+        graph = CSRGraph(ld("indptr"), ld("indices"), ld("out_degrees"))
+        feats = ld("feat")
+        log(f"[products] loaded cached dataset in {time.time()-t0:.0f}s")
+    else:
+        log("[products] generating RMAT dataset (one-time)...")
+        coo = rmat_coo(scale, edge_factor, seed=21)
+        graph = CSRGraph.from_coo(coo)
+        del coo
+        feats = parallel_random((graph.num_nodes, feat), seed=5)
+        if os.environ.get("PAGRAPH_SCALE_SAVE", "1") != "0":
+            os.makedirs(path, exist_ok=True)
+            for nm, arr in [("indptr", graph.indptr),
+                            ("indices", graph.indices),
+                            ("out_degrees", graph.out_degrees),
+                            ("feat", feats)]:
+                np.save(os.path.join(path, nm + ".npy"), arr)
+            open(marker, "w").write("ok")
+        log(f"[products] dataset built in {time.time()-t0:.0f}s")
+    n = graph.num_nodes
+    rng = np.random.default_rng(5)
+    proj = rng.normal(size=(feat, 47)).astype(np.float32)
+    labels = np.argmax(feats @ proj, axis=1).astype(np.int64)
+    # products' split: 196,615 train of 2,449,029 vertices (~8%)
+    train, val, test = random_split_masks(n, train_frac=0.08, seed=6)
+    log(f"[products] {n:,} vertices, {graph.num_edges:,} edges, "
+        f"{int(train.sum()):,} train, features "
+        f"{feats.nbytes/1e9:.2f} GB")
+    return Dataset(graph, feats, labels, train, val, test)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scale", type=int, default=21)
+    p.add_argument("--edge-factor", type=int, default=30)
+    p.add_argument("--feat", type=int, default=100)
+    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--standard", action="store_true",
+                   help="OGB-leaderboard shape (batch 1024, fanout 5, "
+                        "3 layers, hidden 256) instead of the reference's")
+    args = p.parse_args()
+
+    from pagraph_tpu.utils.platform import (
+        enable_compilation_cache,
+        tune_host_allocator,
+        use_fast_prng,
+    )
+
+    tune_host_allocator(4 << 30)
+    enable_compilation_cache()
+    use_fast_prng()
+
+    import pagraph_tpu as pg
+    from pagraph_tpu.train.loop import Trainer
+
+    cache_dir = os.environ.get(
+        "PAGRAPH_BENCH_DATA", os.path.expanduser("~/.cache/pagraph_tpu_bench")
+    )
+    ds = build_dataset(cache_dir, args.scale, args.edge_factor, args.feat)
+
+    if args.standard:
+        model = pg.ModelConfig(arch="graphsage", n_layers=2, hidden=256,
+                               feat_dim=args.feat, n_classes=47, dropout=0.5)
+        sampler = pg.SamplerConfig(batch_size=1024, fanout=5, num_hops=3,
+                                   paired_draws=True)
+    else:
+        model = pg.ModelConfig(arch="graphsage", n_layers=1, hidden=16,
+                               feat_dim=args.feat, n_classes=47, dropout=0.2)
+        sampler = pg.SamplerConfig(batch_size=6000, fanout=2, num_hops=2,
+                                   paired_draws=True)
+    cfg = pg.Config(
+        model=model,
+        sampler=sampler,
+        train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
+                             on_device_sampling=True, scan_unroll=2),
+    )
+    t0 = time.time()
+    tr = Trainer.from_dataset(cfg, ds, seed=0, log=True)
+    tr.train(args.epochs)
+    steady = tr.epoch_metrics[1:] or tr.epoch_metrics
+    epoch_time = float(np.median([m.time_s for m in steady]))
+    eps = float(np.median([m.edges / m.time_s for m in steady]))
+    out = {
+        "metric": "edges_per_s_per_chip",
+        "value": round(eps, 1),
+        "unit": "edges/s",
+        "detail": {
+            "workload": (
+                f"graphsage {'standard' if args.standard else 'reference'} "
+                f"shape, products-scale rmat{args.scale} "
+                f"({ds.num_nodes:,} v, {ds.graph.num_edges:,} e)"
+            ),
+            "epoch_time_s": round(epoch_time, 3),
+            "epochs_per_hr": round(3600.0 / epoch_time, 1),
+            "final_acc": round(tr.epoch_metrics[-1].mean_acc, 4),
+            "total_s": round(time.time() - t0, 1),
+        },
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
+
+
+# Measured results (TPU v5e, axon tunnel; run-to-run tunnel jitter ~2x):
+# see BENCH_NOTES.md at repo root.

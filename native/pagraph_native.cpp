@@ -43,14 +43,17 @@ extern "C" {
 //   indptr   [num_nodes+1] int64   in-CSR of the (partition) graph
 //   indices  [num_edges]   int32
 //   seeds    [num_seeds]   int64   num_seeds <= caps[hops]
+//   fanouts  [hops]        int32   per-hop fanout; fanouts[0] expands from
+//                                  the seeds (block hops-1), fanouts[hops-1]
+//                                  produces the outermost layer (block 0)
 //   caps     [hops+1]      int64   per-layer capacity, caps[0] = outermost
 //   pos_of   [num_nodes]   int32   scratch, must be -1 on entry; restored
 //                                  to -1 on exit (reusable across calls)
 //   layer_nids  [sum(caps)]          int32  zero-padded, layer 0 first
 //   layer_sizes [hops+1]             int64  valid count per layer
-//   neigh_pos   [sum(caps[i]*fanout) for i in 1..hops] int32
-//               block b (connecting layer b -> b+1) uses caps[b+1]*fanout,
-//               blocks stored outermost-first
+//   neigh_pos   [sum(caps[b+1]*fanout_of_block_b) for b in 0..hops-1] int32
+//               block b (connecting layer b -> b+1) uses
+//               caps[b+1]*fanouts[hops-1-b], blocks stored outermost-first
 //   neigh_mask  same extent as neigh_pos, uint8
 //   self_pos    [sum(caps[i]) for i in 1..hops] int32
 //
@@ -58,7 +61,7 @@ extern "C" {
 int pg_sample_minibatch(
     const int64_t* indptr, const int32_t* indices, int64_t num_nodes,
     const int64_t* seeds, int64_t num_seeds,
-    int32_t fanout, int32_t hops, const int64_t* caps, uint64_t seed,
+    const int32_t* fanouts, int32_t hops, const int64_t* caps, uint64_t seed,
     int32_t* pos_of,
     int32_t* layer_nids, int64_t* layer_sizes,
     int32_t* neigh_pos, uint8_t* neigh_mask, int32_t* self_pos) {
@@ -71,7 +74,7 @@ int pg_sample_minibatch(
   // sized by the dst layer capacity.
   std::vector<int64_t> blk_off(hops + 1, 0), self_off(hops + 1, 0);
   for (int b = 0; b < hops; ++b) {
-    blk_off[b + 1] = blk_off[b] + caps[b + 1] * fanout;
+    blk_off[b + 1] = blk_off[b] + caps[b + 1] * fanouts[hops - 1 - b];
     self_off[b + 1] = self_off[b] + caps[b + 1];
   }
 
@@ -91,6 +94,7 @@ int pg_sample_minibatch(
 
   for (int hop = 0; hop < hops; ++hop) {
     const int blk = hops - hop - 1;       // block index, outermost-first
+    const int32_t fanout = fanouts[hop];
     const int64_t cap_src = caps[blk];
     const int64_t cap_dst = caps[blk + 1];
     const int64_t m = (int64_t)cur.size();

@@ -40,8 +40,10 @@ def _sampler(ds, args):
     import pagraph_tpu as pg
     from pagraph_tpu.sampling.sampler import NeighborSampler
 
+    nn = [int(x) for x in str(args.num_neighbors).split(",")]
     cfg = pg.SamplerConfig(
-        batch_size=args.batch_size, fanout=args.num_neighbors,
+        batch_size=args.batch_size, fanout=nn[0],
+        fanouts=tuple(nn) if len(nn) > 1 else None,
         num_hops=args.n_layers + 1, seed=args.seed,
         backend=args.sampler_backend,
     )
@@ -136,7 +138,7 @@ def main(argv=None):
         sp.add_argument("--dataset", type=str, default=None)
         sp.add_argument("--synthetic", type=int, default=0)
         sp.add_argument("--batch-size", type=int, default=6000)
-        sp.add_argument("--num-neighbors", type=int, default=2)
+        sp.add_argument("--num-neighbors", type=str, default="2")
         sp.add_argument("--n-layers", type=int, default=1)
         sp.add_argument("--feat-size", type=int, default=0)
         sp.add_argument("--seed", type=int, default=0)

@@ -33,7 +33,10 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
 
 def add_sampler_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch-size", type=int, default=6000)
-    p.add_argument("--num-neighbors", type=int, default=2)
+    p.add_argument("--num-neighbors", type=str, default="2",
+                   help="fanout per hop: one value ('2') or a per-layer "
+                        "list, input-side first like DGL ('15,10,5'; "
+                        "must have one entry per sampled hop)")
     p.add_argument("--prefetch", type=int, default=2)
     p.add_argument("--sampler-backend", choices=["auto", "numpy", "native"],
                    default="auto")
@@ -89,11 +92,13 @@ def build_config(args, *, feat_dim: int, n_classes: int) -> pg.Config:
         num_heads=getattr(args, "num_heads", 4),
         preprocess=getattr(args, "preprocess", False),
     )
+    nn = [int(x) for x in str(args.num_neighbors).split(",")]
     cfg = pg.Config(
         model=model,
         sampler=pg.SamplerConfig(
             batch_size=args.batch_size,
-            fanout=args.num_neighbors,
+            fanout=nn[0],
+            fanouts=tuple(nn) if len(nn) > 1 else None,
             num_hops=model.num_sampled_hops,
             prefetch=args.prefetch,
             backend=args.sampler_backend,

@@ -45,6 +45,13 @@ class ModelConfig:
 class SamplerConfig:
     batch_size: int = 6000
     fanout: int = 2                   # neighbors per vertex per hop (reference default --num-neighbors 2)
+    fanouts: Optional[Tuple[int, ...]] = None
+                                      # per-layer fanouts (beyond-reference:
+                                      # the DGL-style [15,10,5] recipe),
+                                      # LAYER-ordered like DGL: fanouts[0]
+                                      # is the outermost (input-side) hop,
+                                      # fanouts[-1] expands from the seeds.
+                                      # None = (fanout,) * num_hops
     num_hops: int = 2                 # layered expansion depth
     include_self: bool = True         # dst vertex kept in src layer (NodeFlow semantics)
     cap_factor: float = 1.0           # scales worst-case per-layer capacity
@@ -61,18 +68,45 @@ class SamplerConfig:
                                       # instead of independent — a TPU
                                       # transaction-count optimization
 
+    def hop_fanouts(self) -> Tuple[int, ...]:
+        """Fanout at each expansion hop, seeds outward.
+
+        ``hop_fanouts()[0]`` samples the seeds' neighbors; ``[-1]`` produces
+        the outermost layer.  (The public ``fanouts`` field is LAYER-ordered
+        like DGL's ``[15,10,5]`` — this reverses it.)  Uniform ``fanout``
+        unless ``fanouts`` is set.
+        """
+        if self.fanouts is not None:
+            fs = tuple(int(f) for f in reversed(self.fanouts))
+            if len(fs) != self.num_hops:
+                raise ValueError(
+                    f"fanouts {tuple(self.fanouts)} must have "
+                    f"num_hops={self.num_hops} entries"
+                )
+            if any(f < 1 for f in fs):
+                raise ValueError(
+                    f"fanouts must be >= 1, got {tuple(self.fanouts)}")
+            return fs
+        return (self.fanout,) * self.num_hops
+
+    def block_fanouts(self) -> Tuple[int, ...]:
+        """Per-block fanouts, outermost block first (aligned with
+        ``layer_capacities()[1:]``: block b connects layer b -> b+1).
+        Equals the public layer-ordered ``fanouts`` when it is set."""
+        return tuple(reversed(self.hop_fanouts()))
+
     def layer_capacities(self, num_nodes: int, pad_to: int = 8) -> Tuple[int, ...]:
         """Static padded capacity of each minibatch layer, seeds last.
 
         Layer ``num_hops`` holds the seeds (batch_size wide); each outer layer
-        can hold at most prev * (fanout + include_self) unique vertices, capped
-        at the graph size.  Shapes are rounded up so every batch reuses one XLA
-        executable.
+        can hold at most prev * (hop fanout + include_self) unique vertices,
+        capped at the graph size.  Shapes are rounded up so every batch reuses
+        one XLA executable.
         """
         caps = [self.batch_size]
-        growth = self.fanout + (1 if self.include_self else 0)
-        for _ in range(self.num_hops):
-            nxt = min(int(caps[-1] * growth * self.cap_factor), num_nodes)
+        inc = 1 if self.include_self else 0
+        for f in self.hop_fanouts():
+            nxt = min(int(caps[-1] * (f + inc) * self.cap_factor), num_nodes)
             nxt = max(nxt, 1)
             caps.append(nxt)
         caps = [-(-c // pad_to) * pad_to for c in caps]
@@ -151,6 +185,7 @@ class Config:
                 )
             if m.num_heads < 1:
                 raise ValueError("gat needs num_heads >= 1")
+        s.hop_fanouts()                 # raises on bad per-hop fanouts
         # The one cross-phase contract the reference leaves to the user:
         if s.num_hops != m.num_sampled_hops:
             raise ValueError(

@@ -196,7 +196,9 @@ class DataParallelTrainer:
         stack, self._shard_rows = shard_features(fused, D)
         self._feat_shards = jax.device_put(stack, self._dp)
         B = self.cfg.sampler.batch_size
-        cap0 = B * (self.cfg.sampler.fanout + 1) ** self.cfg.sampler.num_hops
+        cap0 = B
+        for f in self.cfg.sampler.hop_fanouts():
+            cap0 *= f + 1
         self._halo_width = halo_width_for(cap0, D)
         n_train = len(self._full_train_nids)
         self._dev_num_batches = max(1, -(-n_train // (D * B)))
@@ -339,7 +341,7 @@ class DataParallelTrainer:
 
         iters = [s.epoch() for s in self.samplers]
         steps = max(s.num_batches for s in self.samplers)
-        fanout = self.cfg.sampler.fanout
+        fanout = self.cfg.sampler.block_fanouts()
         total_dim = self.caches[0].total_dim
         ici = self.feature_source == "ici"
         for _ in range(steps):

@@ -206,7 +206,7 @@ def sample_minibatch_device(
     seeds: jax.Array,       # int32 [B] vertex ids (padded slots -> any valid id)
     seed_mask: jax.Array,   # bool  [B]
     num_hops: int,
-    fanout: int,
+    fanout,                 # int, or per-hop sequence ([0] = from the seeds)
     key: jax.Array,
     labels: Optional[jax.Array] = None,   # int32 [N] per-vertex labels
     paired: bool = False,
@@ -214,23 +214,28 @@ def sample_minibatch_device(
     """Expand ``seeds`` into a padded :class:`MiniBatch`, fully on device.
 
     Layer ``i`` = ``concat(layer i+1 ids, layer i+1's sampled neighbors)``,
-    so layer widths are ``B * (fanout+1)^(num_hops-i)`` and the inner layer
-    is a prefix of the outer one (the invariant every model relies on).
+    so layer widths are ``B * prod(fanout_h + 1)`` over the inner hops and
+    the inner layer is a prefix of the outer one (the invariant every model
+    relies on).
     """
+    fanouts = (tuple(fanout) if isinstance(fanout, (tuple, list))
+               else (int(fanout),) * num_hops)
+    assert len(fanouts) == num_hops, (fanouts, num_hops)
     keys = jax.random.split(key, num_hops)
     layers = [(seeds.astype(jnp.int32), seed_mask)]
     blocks_rev = []
     cur, curm = layers[0]
     ptrs = None
     for hop in range(num_hops):
+        f = fanouts[hop]
         # hop h's dst is a prefix of hop h+1's dst: reuse fetched pointers
         ptrs = _vertex_ptrs(csr, cur, prefix=ptrs)
-        nbr, emask = sample_hop(csr, cur, curm, fanout, keys[hop],
+        nbr, emask = sample_hop(csr, cur, curm, f, keys[hop],
                                 paired=paired, ptrs=ptrs)
         n = cur.shape[0]
         blocks_rev.append(Block(
-            neigh_pos=(n + jnp.arange(n * fanout, dtype=jnp.int32)
-                       ).reshape(n, fanout),
+            neigh_pos=(n + jnp.arange(n * f, dtype=jnp.int32)
+                       ).reshape(n, f),
             neigh_mask=emask,
             self_pos=jnp.arange(n, dtype=jnp.int32),
             prefix_layout=True,

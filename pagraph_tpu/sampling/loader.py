@@ -86,7 +86,8 @@ class PrefetchLoader:
                 if self.packed:
                     from .pack import make_layout, pack
                     layout = make_layout(
-                        self.sampler.caps, self.sampler.config.fanout,
+                        self.sampler.caps,
+                        self.sampler.config.block_fanouts(),
                         self.cache.total_dim, plan.miss_feats.shape[0],
                         device_plan=True,
                     )

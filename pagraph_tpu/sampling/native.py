@@ -52,7 +52,7 @@ def get_lib() -> ctypes.CDLL:
         lib.pg_sample_minibatch.argtypes = [
             _i64p, _i32p, ctypes.c_int64,            # indptr, indices, num_nodes
             _i64p, ctypes.c_int64,                    # seeds, num_seeds
-            ctypes.c_int32, ctypes.c_int32, _i64p,    # fanout, hops, caps
+            _i32p, ctypes.c_int32, _i64p,             # fanouts[hops], hops, caps
             ctypes.c_uint64,                          # seed
             _i32p,                                    # pos_of scratch
             _i32p, _i64p,                             # layer_nids, layer_sizes
@@ -88,18 +88,22 @@ class NativeSampler:
         self.config = config
         self.caps = np.asarray(caps, dtype=np.int64)
         self.hops = config.num_hops
-        self.fanout = config.fanout
+        # hop-ordered for the C call ([0] = from the seeds) and block-ordered
+        # for the output layout (outermost block first)
+        self.hop_fanouts = np.asarray(config.hop_fanouts(), dtype=np.int32)
+        self.block_fanouts = np.asarray(config.block_fanouts(), dtype=np.int64)
         if not config.include_self:
             raise NotImplementedError("native sampler requires include_self")
         self._pos_of = np.full(graph.num_nodes, -1, dtype=np.int32)
         self._nid_off = np.concatenate([[0], np.cumsum(self.caps)])
         dst_caps = self.caps[1:]
-        self._blk_off = np.concatenate([[0], np.cumsum(dst_caps * self.fanout)])
+        self._blk_off = np.concatenate(
+            [[0], np.cumsum(dst_caps * self.block_fanouts)])
         self._self_off = np.concatenate([[0], np.cumsum(dst_caps)])
 
     def sample(self, seeds: np.ndarray, labels: Optional[np.ndarray],
                seed: int) -> MiniBatch:
-        g, caps, hops, fanout = self.graph, self.caps, self.hops, self.fanout
+        g, caps, hops = self.graph, self.caps, self.hops
         seeds = np.ascontiguousarray(seeds, dtype=np.int64)
         layer_nids = np.zeros(int(caps.sum()), dtype=np.int32)
         layer_sizes = np.zeros(hops + 1, dtype=np.int64)
@@ -110,7 +114,7 @@ class NativeSampler:
             _ptr(g.indptr, _i64p), _ptr(g.indices, _i32p),
             ctypes.c_int64(g.num_nodes),
             _ptr(seeds, _i64p), ctypes.c_int64(len(seeds)),
-            ctypes.c_int32(fanout), ctypes.c_int32(hops),
+            _ptr(self.hop_fanouts, _i32p), ctypes.c_int32(hops),
             _ptr(caps, _i64p), ctypes.c_uint64(seed & (2**64 - 1)),
             _ptr(self._pos_of, _i32p),
             _ptr(layer_nids, _i32p), _ptr(layer_sizes, _i64p),
@@ -129,11 +133,12 @@ class NativeSampler:
             masks.append(m)
         for b in range(hops):
             cap_dst = int(caps[b + 1])
+            fb = int(self.block_fanouts[b])
             psl = slice(int(self._blk_off[b]), int(self._blk_off[b + 1]))
             ssl = slice(int(self._self_off[b]), int(self._self_off[b + 1]))
             blocks.append(Block(
-                neigh_pos=neigh_pos[psl].reshape(cap_dst, fanout),
-                neigh_mask=neigh_mask[psl].reshape(cap_dst, fanout).astype(bool),
+                neigh_pos=neigh_pos[psl].reshape(cap_dst, fb),
+                neigh_mask=neigh_mask[psl].reshape(cap_dst, fb).astype(bool),
                 self_pos=self_pos[ssl],
             ))
         if labels is not None:

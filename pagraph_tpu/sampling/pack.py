@@ -25,7 +25,8 @@ class BatchLayout:
     """Static layout of the packed buffers (hashable: jit-static)."""
 
     caps: Tuple[int, ...]       # per-layer capacities, outermost first
-    fanout: int
+    fanouts: Tuple[int, ...]    # per-block fanout, outermost block first
+                                # (block b connects layer b -> b+1)
     total_dim: int              # fused feature width
     bucket: int                 # miss_feats rows (varies by power-of-2 bucket)
     device_plan: bool = False   # True: hit/miss split recomputed on device
@@ -37,10 +38,15 @@ class BatchLayout:
     def hops(self) -> int:
         return len(self.caps) - 1
 
+    def block_sizes(self) -> Tuple[int, ...]:
+        """neigh_pos/neigh_mask elements per block (cap_dst * fanout)."""
+        return tuple(c * f for c, f in zip(self.caps[1:], self.fanouts))
+
     # ---- int32 buffer sections ----
     def i32_sections(self):
         caps = self.caps
         dst = caps[1:]
+        edges = sum(self.block_sizes())
         if self.device_plan:
             # lean layout: the compiled step only reads layer-0 ids, the
             # seed labels/mask, the input mask and the block indices —
@@ -49,30 +55,30 @@ class BatchLayout:
                 ("layer0_nids", caps[0]),
                 ("labels", caps[-1]),
                 ("self_pos", sum(dst)),
-                ("neigh_pos", sum(dst) * self.fanout),
+                ("neigh_pos", edges),
             ]
         return [
             ("layer_nids", sum(caps)),
             ("labels", caps[-1]),
             ("self_pos", sum(dst)),
-            ("neigh_pos", sum(dst) * self.fanout),
+            ("neigh_pos", edges),
             ("cache_pos", caps[0]),
             ("miss_slot", caps[0]),
         ]
 
     def u8_sections(self):
         caps = self.caps
-        dst = caps[1:]
+        edges = sum(self.block_sizes())
         if self.device_plan:
             # masks travel bit-packed (8 flags per byte)
             return [
                 ("input_mask", caps[0] // 8),
                 ("seed_mask", caps[-1] // 8),
-                ("neigh_mask", sum(dst) * self.fanout // 8),
+                ("neigh_mask", edges // 8),
             ]
         return [
             ("layer_mask", sum(caps)),
-            ("neigh_mask", sum(dst) * self.fanout),
+            ("neigh_mask", edges),
             ("hit_mask", caps[0]),
         ]
 
@@ -85,12 +91,20 @@ class BatchLayout:
         return sum(n for _, n in self.u8_sections())
 
 
-def make_layout(caps: Sequence[int], fanout: int, total_dim: int,
+def make_layout(caps: Sequence[int], fanout, total_dim: int,
                 bucket: int, device_plan: bool = False) -> BatchLayout:
+    """``fanout``: one int for every block, or a per-block sequence
+    (outermost block first — ``SamplerConfig.block_fanouts()``)."""
     caps = tuple(int(c) for c in caps)
+    hops = len(caps) - 1
+    fanouts = (tuple(int(f) for f in fanout)
+               if isinstance(fanout, (tuple, list))
+               else (int(fanout),) * hops)
+    if len(fanouts) != hops:
+        raise ValueError(f"need {hops} block fanouts, got {fanouts}")
     if device_plan and any(c % 8 for c in caps):
         raise ValueError(f"device-plan layout needs caps divisible by 8: {caps}")
-    return BatchLayout(caps, int(fanout), int(total_dim), int(bucket),
+    return BatchLayout(caps, fanouts, int(total_dim), int(bucket),
                        bool(device_plan))
 
 
@@ -158,7 +172,7 @@ def unpack_numpy(layout: BatchLayout, i32: np.ndarray, u8: np.ndarray
                  ) -> MiniBatch:
     """Host-side unpack into zero-copy numpy views (no FetchPlan part;
     used by the sampling service to decode shared-memory slots)."""
-    caps, fanout = layout.caps, layout.fanout
+    caps, fanouts = layout.caps, layout.fanouts
     hops = layout.hops
     sec, at = {}, 0
     for name, n in layout.i32_sections():
@@ -179,12 +193,12 @@ def unpack_numpy(layout: BatchLayout, i32: np.ndarray, u8: np.ndarray
     layer_nids = tuple(split(sec["layer_nids"], caps))
     layer_mask = tuple(m.view(bool) for m in split(usec["layer_mask"], caps))
     self_list = split(sec["self_pos"], caps[1:])
-    npos_list = split(sec["neigh_pos"], [c * fanout for c in caps[1:]])
-    nmask_list = split(usec["neigh_mask"], [c * fanout for c in caps[1:]])
+    npos_list = split(sec["neigh_pos"], layout.block_sizes())
+    nmask_list = split(usec["neigh_mask"], layout.block_sizes())
     blocks = tuple(
         Block(
-            neigh_pos=npos_list[b].reshape(caps[b + 1], fanout),
-            neigh_mask=nmask_list[b].reshape(caps[b + 1], fanout).view(bool),
+            neigh_pos=npos_list[b].reshape(caps[b + 1], fanouts[b]),
+            neigh_mask=nmask_list[b].reshape(caps[b + 1], fanouts[b]).view(bool),
             self_pos=self_list[b],
         )
         for b in range(hops)
@@ -203,7 +217,7 @@ def _unpackbits(packed: jax.Array, n: int) -> jax.Array:
 def unpack(layout: BatchLayout, i32: jax.Array, u8: jax.Array,
            f32: jax.Array) -> Tuple[MiniBatch, FetchPlan]:
     """Jit-side unpack (static slices; folds into downstream gathers)."""
-    caps, fanout = layout.caps, layout.fanout
+    caps, fanouts = layout.caps, layout.fanouts
     hops = layout.hops
     sec = {}
     at = 0
@@ -224,7 +238,7 @@ def unpack(layout: BatchLayout, i32: jax.Array, u8: jax.Array,
         return out
 
     self_list = split(sec["self_pos"], caps[1:])
-    npos_list = split(sec["neigh_pos"], [c * fanout for c in caps[1:]])
+    npos_list = split(sec["neigh_pos"], layout.block_sizes())
 
     if layout.device_plan:
         # lean layout: inner-layer ids/masks were not transferred (the
@@ -241,8 +255,8 @@ def unpack(layout: BatchLayout, i32: jax.Array, u8: jax.Array,
             + [seed_mask]
         )
         nmask_flat = _unpackbits(usec["neigh_mask"],
-                                 sum(c * fanout for c in caps[1:]))
-        nmask_list = split(nmask_flat, [c * fanout for c in caps[1:]])
+                                 sum(layout.block_sizes()))
+        nmask_list = split(nmask_flat, layout.block_sizes())
     else:
         layer_nids = tuple(split(sec["layer_nids"], caps))
         layer_mask = tuple(
@@ -250,12 +264,12 @@ def unpack(layout: BatchLayout, i32: jax.Array, u8: jax.Array,
         )
         nmask_list = [
             m.astype(bool)
-            for m in split(usec["neigh_mask"], [c * fanout for c in caps[1:]])
+            for m in split(usec["neigh_mask"], layout.block_sizes())
         ]
     blocks = tuple(
         Block(
-            neigh_pos=npos_list[b].reshape(caps[b + 1], fanout),
-            neigh_mask=nmask_list[b].reshape(caps[b + 1], fanout),
+            neigh_pos=npos_list[b].reshape(caps[b + 1], fanouts[b]),
+            neigh_mask=nmask_list[b].reshape(caps[b + 1], fanouts[b]),
             self_pos=self_list[b],
         )
         for b in range(hops)

@@ -66,6 +66,7 @@ def sample_minibatch(
     """
     L = config.num_hops
     assert len(caps) == L + 1, (len(caps), L)
+    fanouts = config.hop_fanouts()
     seeds = np.asarray(seeds, dtype=np.int64)
     if len(seeds) > caps[-1]:
         raise ValueError(f"{len(seeds)} seeds exceed seed capacity {caps[-1]}")
@@ -76,7 +77,7 @@ def sample_minibatch(
     cur = seeds
     for hop in range(L):
         cap_src = caps[L - hop - 1]
-        nbr, mask = _sample_fanout(graph, cur, config.fanout, rng)
+        nbr, mask = _sample_fanout(graph, cur, fanouts[hop], rng)
         # Deduplicate [cur ; sampled] preserving first-occurrence order so the
         # dst set occupies the prefix of the src layer (subset invariant).
         cand = np.concatenate([cur, nbr.ravel()])
@@ -96,7 +97,7 @@ def sample_minibatch(
             pos = np.where(overflow, 0, pos)
             mask &= ~overflow[len(cur):].reshape(mask.shape)
         self_pos = pos[: len(cur)].astype(np.int32)
-        neigh_pos = pos[len(cur):].reshape(len(cur), config.fanout).astype(np.int32)
+        neigh_pos = pos[len(cur):].reshape(len(cur), fanouts[hop]).astype(np.int32)
         neigh_pos = np.where(mask, neigh_pos, 0).astype(np.int32)
         cap_dst = caps[L - hop]
         blocks_rev.append(

@@ -80,7 +80,7 @@ def _worker_main(
         sampler = NativeSampler(graph, config, caps)
         i32_slots = _attach(slot_spec["i32"], registry)
         u8_slots = _attach(slot_spec["u8"], registry)
-        layout = make_layout(caps, config.fanout, 0, 0)
+        layout = make_layout(caps, config.block_fanouts(), 0, 0)
         while True:
             task = task_q.get()
             if task is _STOP:
@@ -150,7 +150,7 @@ class SampleService:
         self.config = config
         self.train_nids = np.asarray(train_nids, dtype=np.int64)
         self.caps = tuple(caps) if caps is not None else config.layer_capacities(graph.num_nodes)
-        self.layout = make_layout(self.caps, config.fanout, 0, 0)
+        self.layout = make_layout(self.caps, config.block_fanouts(), 0, 0)
         self.num_slots = num_slots
         self._base_seed = seed
         self.rng = np.random.default_rng(seed)

@@ -54,7 +54,7 @@ def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     neigh_slice = field_offsets.get("neigh")
     B = cfg.sampler.batch_size
     hops = cfg.sampler.num_hops
-    fanout = cfg.sampler.fanout
+    fanout = cfg.sampler.hop_fanouts()
     paired = cfg.sampler.paired_draws
     if not cfg.sampler.include_self:
         raise ValueError("on-device sampling requires include_self=True")
@@ -153,7 +153,7 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     neigh_slice = field_offsets.get("neigh")
     B = cfg.sampler.batch_size
     hops = cfg.sampler.num_hops
-    fanout = cfg.sampler.fanout
+    fanout = cfg.sampler.hop_fanouts()
     paired = cfg.sampler.paired_draws
     if not cfg.sampler.include_self:
         raise ValueError("on-device sampling requires include_self=True")
@@ -287,7 +287,7 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     neigh_slice = field_offsets.get("neigh")
     B = cfg.sampler.batch_size
     hops = cfg.sampler.num_hops
-    fanout = cfg.sampler.fanout
+    fanout = cfg.sampler.hop_fanouts()
     paired = cfg.sampler.paired_draws
     D = mesh.devices.size
     if not cfg.sampler.include_self:
@@ -416,7 +416,7 @@ def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     feat_slice = field_offsets["features"]
     B = cfg.sampler.batch_size
     hops = cfg.sampler.num_hops
-    fanout = cfg.sampler.fanout
+    fanout = cfg.sampler.hop_fanouts()
     paired = cfg.sampler.paired_draws
 
     @partial(jax.jit, donate_argnames=("state", "hists", "aggs"))
