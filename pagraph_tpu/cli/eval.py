@@ -36,6 +36,7 @@ def main(argv=None):
         feat_dim=args.feat_size or ds.feat_dim,
         n_classes=args.n_classes or ds.num_classes,
         dropout=args.dropout, aggregator=args.agg,
+        num_heads=args.num_heads,
     )
     cfg = pg.Config(
         model=model,
