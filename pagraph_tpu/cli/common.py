@@ -70,6 +70,10 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--on-device", action="store_true",
                    help="sample on the TPU inside jit; one dispatch per "
                         "epoch (needs graph + features in HBM)")
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="model fwd/bwd dtype; bfloat16 doubles MXU matmul "
+                        "throughput (master params/optimizer stay f32)")
 
 
 def add_partition_flags(p: argparse.ArgumentParser) -> None:
@@ -122,6 +126,7 @@ def build_config(args, *, feat_dim: int, n_classes: int) -> pg.Config:
             ckpt_every=args.ckpt_every,
             remote_sampling=getattr(args, "isolate", False),
             on_device_sampling=getattr(args, "on_device", False),
+            dtype=getattr(args, "compute_dtype", "float32"),
         ),
     )
     return cfg

@@ -152,7 +152,11 @@ class TrainConfig:
                                       # reference's small batch shapes;
                                       # unrolling lets XLA overlap fusions
                                       # across adjacent steps)
-    dtype: str = "float32"            # compute dtype for activations
+    dtype: str = "float32"            # compute dtype for model fwd/bwd:
+                                      # "bfloat16" casts params+activations
+                                      # (double MXU matmul rate; master
+                                      # params, optimizer and loss stay f32
+                                      # — train/state.py cast_apply)
 
 
 @dataclasses.dataclass
@@ -196,6 +200,12 @@ class Config:
         if self.partition.num_hops < 1:
             raise ValueError("partition.num_hops must be >= 1")
         t = self.train
+        if t.dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"train.dtype must be float32|bfloat16, "
+                             f"got {t.dtype!r}")
+        if self.cache.dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"cache.dtype must be float32|bfloat16, "
+                             f"got {self.cache.dtype!r}")
         if t.on_device_sampling:
             if t.remote_sampling:
                 raise ValueError(

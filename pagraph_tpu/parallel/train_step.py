@@ -24,7 +24,7 @@ from ..config import Config
 from ..models import get_model
 from ..storage.cache import FetchPlan, assemble_features
 from ..train.objective import masked_accuracy, masked_cross_entropy
-from ..train.state import TrainState
+from ..train.state import TrainState, cast_apply, compute_dtype
 
 
 def make_dp_train_step(
@@ -41,6 +41,7 @@ def make_dp_train_step(
     replicated.
     """
     _, apply_fn = get_model(cfg.model)
+    apply_fn = cast_apply(apply_fn, compute_dtype(cfg))
     sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
     feat_slice = field_offsets["features"]
     neigh_slice = field_offsets.get("neigh")
@@ -125,6 +126,7 @@ def make_dp_halo_train_step(
     from ..sampling.pack import unpack
 
     _, apply_fn = get_model(cfg.model)
+    apply_fn = cast_apply(apply_fn, compute_dtype(cfg))
     sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
 
     def per_device_step(layout, state: TrainState, metrics_acc, i32, u8,

@@ -26,7 +26,7 @@ from ..config import Config
 from ..models import get_model
 from ..sampling.device_sampler import DeviceCSR, sample_minibatch_device
 from .objective import masked_accuracy, masked_cross_entropy
-from .state import TrainState
+from .state import TrainState, cast_apply, compute_dtype
 
 # metrics accumulator layout (float32[5])
 METRIC_NAMES = ("loss_sum", "acc_sum", "steps", "edges", "vertices")
@@ -49,6 +49,7 @@ def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     loss and metrics.
     """
     _, apply_fn = get_model(cfg.model)
+    apply_fn = cast_apply(apply_fn, compute_dtype(cfg))
     sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
     feat_slice = field_offsets["features"]
     neigh_slice = field_offsets.get("neigh")
@@ -148,6 +149,7 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     from jax import shard_map
 
     _, apply_fn = get_model(cfg.model)
+    apply_fn = cast_apply(apply_fn, compute_dtype(cfg))
     sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
     feat_slice = field_offsets["features"]
     neigh_slice = field_offsets.get("neigh")
@@ -282,6 +284,7 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     from ..parallel.halo import device_halo_plan, exchange_features
 
     _, apply_fn = get_model(cfg.model)
+    apply_fn = cast_apply(apply_fn, compute_dtype(cfg))
     sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
     feat_slice = field_offsets["features"]
     neigh_slice = field_offsets.get("neigh")

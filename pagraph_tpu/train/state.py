@@ -31,6 +31,30 @@ class TrainState:
     rng: jax.Array           # dropout PRNG key
 
 
+def compute_dtype(cfg: Config):
+    """Activation/matmul dtype from ``TrainConfig.dtype``."""
+    return jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
+
+
+def cast_apply(apply_fn: Callable, dtype) -> Callable:
+    """Mixed-precision wrapper: run forward (and therefore backward) with
+    params + activations cast to ``dtype`` — on TPU, bfloat16 doubles MXU
+    matmul throughput — while master params, optimizer state and the loss
+    stay float32 (the casts are differentiable, so grads come back f32).
+    Identity for float32."""
+    if dtype == jnp.float32:
+        return apply_fn
+
+    def wrapped(params, mcfg, mb, feats, **kw):
+        params = jax.tree.map(lambda p: p.astype(dtype), params)
+        feats = feats.astype(dtype)
+        if kw.get("neigh_feats") is not None:
+            kw["neigh_feats"] = kw["neigh_feats"].astype(dtype)
+        return apply_fn(params, mcfg, mb, feats, **kw).astype(jnp.float32)
+
+    return wrapped
+
+
 def create_state(cfg: Config, seed: int = 0) -> tuple[TrainState, optax.GradientTransformation]:
     init_fn, _ = get_model(cfg.model)
     key = jax.random.PRNGKey(seed)
@@ -45,6 +69,7 @@ def create_state(cfg: Config, seed: int = 0) -> tuple[TrainState, optax.Gradient
 def make_train_step(cfg: Config, tx: optax.GradientTransformation) -> Callable:
     """Build the jitted (state, minibatch, feats[, neigh_feats]) -> (state, metrics) step."""
     _, apply_fn = get_model(cfg.model)
+    apply_fn = cast_apply(apply_fn, compute_dtype(cfg))
     sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
 
     @jax.jit
@@ -85,6 +110,7 @@ def make_packed_train_step(cfg: Config, tx: optax.GradientTransformation,
     from ..storage.cache import assemble_features_from_map
 
     _, apply_fn = get_model(cfg.model)
+    apply_fn = cast_apply(apply_fn, compute_dtype(cfg))
     sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
     feat_slice = field_offsets["features"]
     neigh_slice = field_offsets.get("neigh")
@@ -136,6 +162,7 @@ def make_multistep_train_step(cfg: Config, tx: optax.GradientTransformation,
     from ..storage.cache import assemble_features_from_map
 
     _, apply_fn = get_model(cfg.model)
+    apply_fn = cast_apply(apply_fn, compute_dtype(cfg))
     sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
     feat_slice = field_offsets["features"]
     neigh_slice = field_offsets.get("neigh")
@@ -229,6 +256,7 @@ def make_cached_train_step(cfg: Config, tx: optax.GradientTransformation,
     stage fused into the compiled step.
     """
     _, apply_fn = get_model(cfg.model)
+    apply_fn = cast_apply(apply_fn, compute_dtype(cfg))
     sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
     feat_slice = field_offsets["features"]
     neigh_slice = field_offsets.get("neigh")

@@ -54,3 +54,32 @@ def test_bf16_ici_mode(learn_ds):
     assert str(tr._feat_shards.dtype) == "bfloat16"
     losses = [m.mean_loss for m in tr.epoch_metrics]
     assert losses[-1] < losses[0] + 0.2
+
+
+@pytest.mark.parametrize("on_device", [False, True])
+def test_bf16_compute_dtype_trains(learn_ds, on_device):
+    """train.dtype='bfloat16': fwd/bwd in bf16 (cast_apply), f32 master
+    params/optimizer; convergence close to f32 on the learnable graph."""
+    m = pg.ModelConfig(arch="graphsage", n_layers=1, hidden=16, feat_dim=32,
+                       n_classes=6, dropout=0.0)
+    cfg = pg.Config(
+        model=m,
+        sampler=pg.SamplerConfig(batch_size=128, fanout=2,
+                                 num_hops=m.num_sampled_hops, seed=4),
+        train=pg.TrainConfig(lr=2e-2, dtype="bfloat16",
+                             on_device_sampling=on_device),
+    )
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(4)
+    losses = [em.mean_loss for em in tr.epoch_metrics]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
+    # master params stayed f32
+    import jax
+    assert all(p.dtype == np.float32
+               for p in jax.tree.leaves(tr.state.params))
+
+
+def test_bad_compute_dtype_rejected():
+    with pytest.raises(ValueError):
+        pg.Config(train=pg.TrainConfig(dtype="float16"))
