@@ -142,13 +142,8 @@ def full_graph_logits(
             "non-preprocess config (weights are compatible for gcn layers >0)"
         )
     if backend == "device":
-        if cfg.arch == "gat":
-            # per-dst softmax over variable-length edge lists has no
-            # chunked-device formulation here yet; host path is exact
-            backend = "host"
-        else:
-            return _full_graph_logits_device(params, cfg, graph, features,
-                                             edge_chunk)
+        return _full_graph_logits_device(params, cfg, graph, features,
+                                         edge_chunk)
     adj = _adj_csr(graph)
     norm = gcn_norm(graph)
     nl = cfg.n_layers
@@ -255,7 +250,77 @@ def _full_graph_logits_device(params: dict, cfg: ModelConfig,
             else:
                 h = out
         return np.asarray(h)
+    if cfg.arch == "gat":
+        return _gat_full_graph_device(params, cfg, edges, features)
     raise NotImplementedError(f"device inference for {cfg.arch}")
+
+
+@partial(jax.jit, static_argnames=("num_nodes",))
+def _gat_device_layer(p: dict, h: jax.Array, src: jax.Array, dst: jax.Array,
+                      num_nodes: int) -> jax.Array:
+    """One exact full-neighborhood GAT layer via three chunked edge scans.
+
+    Numerically identical to ``_gat_full_graph_host``: per-dst softmax over
+    all in-edges plus the self-loop, computed streaming —
+    (1) scatter-max of edge logits, (2) scatter-add of exp-shifted weights,
+    (3) scatter-add of weighted neighbor messages.  Per-edge logits are
+    recomputed in each scan (two tiny gathers) instead of materializing an
+    [E, K] tensor in HBM.
+    """
+    n = num_nodes
+    K = p["a_self"].shape[0]
+    leaky = lambda x: jnp.where(x > 0, x, 0.2 * x)
+    z = (h @ p["w"]).reshape(n, K, -1)                       # [N, K, H]
+    att_s = jnp.einsum("nkh,kh->nk", z, p["a_self"])         # [N, K]
+    att_n = jnp.einsum("nkh,kh->nk", z, p["a_neigh"])
+
+    def edge_logits(s, d):
+        # padded slots (d == n) clamp their gather; scatters drop them
+        return leaky(jnp.take(att_s, d, axis=0) + jnp.take(att_n, s, axis=0))
+
+    def max_step(m, xs):
+        s, d = xs
+        return m.at[d].max(edge_logits(s, d), mode="drop"), None
+
+    e_self = leaky(att_s + att_n)                            # [N, K]
+    m, _ = jax.lax.scan(max_step, e_self, (src, dst))
+
+    def den_step(den, xs):
+        s, d = xs
+        w = jnp.exp(edge_logits(s, d) - jnp.take(m, d, axis=0))
+        return den.at[d].add(w, mode="drop"), None
+
+    w_self = jnp.exp(e_self - m)
+    den, _ = jax.lax.scan(den_step, w_self, (src, dst))
+
+    def msg_step(out, xs):
+        s, d = xs
+        w = jnp.exp(edge_logits(s, d) - jnp.take(m, d, axis=0))
+        w = w / jnp.take(den, d, axis=0)
+        return out.at[d].add(w[:, :, None] * jnp.take(z, s, axis=0),
+                             mode="drop"), None
+
+    out0 = (w_self / den)[:, :, None] * z
+    out, _ = jax.lax.scan(msg_step, out0, (src, dst))
+    return out                                               # [N, K, H]
+
+
+def _gat_full_graph_device(params: dict, cfg: ModelConfig,
+                           edges: "_DeviceEdges",
+                           features: np.ndarray) -> np.ndarray:
+    h = jnp.asarray(np.asarray(features, dtype=np.float32))
+    layers = params["layers"]
+    last = len(layers) - 1
+    for li, p in enumerate(layers):
+        out = _gat_device_layer(
+            jax.tree.map(jnp.asarray, p), h, edges.src, edges.dst,
+            edges.num_nodes)
+        if li == last:
+            h = out.mean(axis=1)
+        else:
+            o = out.reshape(edges.num_nodes, -1)
+            h = jax.nn.elu(o)
+    return np.asarray(h)
 
 
 def evaluate(

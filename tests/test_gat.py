@@ -144,15 +144,16 @@ def test_gat_on_device_epoch(learn_ds):
     assert losses[-1] < losses[0] * 0.9, losses
 
 
-def test_gat_device_backend_routes_to_host(tiny_ds):
-    """backend='device' has no chunked gat formulation; it must transparently
-    use the exact host path instead of raising."""
-    m = pg.ModelConfig(arch="gat", n_layers=0, hidden=8, feat_dim=16,
+@pytest.mark.parametrize("n_layers", [0, 1])
+def test_gat_device_backend_matches_host(tiny_ds, n_layers):
+    """backend='device' (three chunked edge scans: scatter-max, exp-sum,
+    weighted message add) must agree with the exact host softmax path."""
+    m = pg.ModelConfig(arch="gat", n_layers=n_layers, hidden=8, feat_dim=16,
                        n_classes=5, num_heads=2, dropout=0.0)
     init_fn, _ = get_model(m)
     params = jax.tree.map(np.asarray, init_fn(jax.random.PRNGKey(2), m))
     host = full_graph_logits(params, m, tiny_ds.graph, tiny_ds.features,
                              backend="host")
     dev = full_graph_logits(params, m, tiny_ds.graph, tiny_ds.features,
-                            backend="device")
-    np.testing.assert_allclose(host, dev, rtol=1e-6)
+                            backend="device", edge_chunk=64)
+    np.testing.assert_allclose(host, dev, rtol=2e-5, atol=1e-6)
