@@ -130,6 +130,12 @@ def main(argv=None):
 
     result = {"platform": jax.devices()[0].platform,
               "available_devices": avail, "runs": rows}
+    if result["platform"] == "cpu":
+        result["note"] = (
+            "virtual CPU devices share one physical CPU: this validates the "
+            "sharded program, not silicon scaling efficiency (flat TOTAL "
+            "edges/s across counts is the expected ceiling here)"
+        )
     if args.json:
         print(json.dumps(result))
     return result
