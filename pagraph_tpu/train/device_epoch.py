@@ -415,7 +415,9 @@ def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     1/max(in_degree,1) [N].
     """
     from ..models import gcn_cv
+    from .state import cast_cv_apply
 
+    cv_apply = cast_cv_apply(gcn_cv.apply, compute_dtype(cfg))
     feat_slice = field_offsets["features"]
     B = cfg.sampler.batch_size
     hops = cfg.sampler.num_hops
@@ -456,7 +458,7 @@ def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                         for b in range(hops)]
 
             def loss_fn(params):
-                logits, new_hists = gcn_cv.apply(
+                logits, new_hists = cv_apply(
                     params, cfg.model, mb, feats, train=True,
                     dropout_rng=sub, h_hist=h_hist, agg_hist=agg_hist,
                 )

@@ -55,6 +55,27 @@ def cast_apply(apply_fn: Callable, dtype) -> Callable:
     return wrapped
 
 
+def cast_cv_apply(apply_fn: Callable, dtype) -> Callable:
+    """``cast_apply`` for the control-variate model's
+    ``(logits, new_hists)`` signature: history slices also run in ``dtype``;
+    fresh histories come back f32 (they scatter into f32 state arrays)."""
+    if dtype == jnp.float32:
+        return apply_fn
+
+    def wrapped(params, mcfg, mb, feats, *, train, dropout_rng,
+                h_hist, agg_hist):
+        cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
+        logits, new_hists = apply_fn(
+            cast(params), mcfg, mb, feats.astype(dtype), train=train,
+            dropout_rng=dropout_rng, h_hist=cast(h_hist),
+            agg_hist=cast(agg_hist),
+        )
+        return (logits.astype(jnp.float32),
+                jax.tree.map(lambda x: x.astype(jnp.float32), new_hists))
+
+    return wrapped
+
+
 def create_state(cfg: Config, seed: int = 0) -> tuple[TrainState, optax.GradientTransformation]:
     init_fn, _ = get_model(cfg.model)
     key = jax.random.PRNGKey(seed)
@@ -215,6 +236,7 @@ def make_cv_train_step(cfg: Config, tx: optax.GradientTransformation,
     fresh histories for scatter-back (see models/gcn_cv.py)."""
     from ..models import gcn_cv
 
+    cv_apply = cast_cv_apply(gcn_cv.apply, compute_dtype(cfg))
     feat_slice = field_offsets["features"]
 
     @jax.jit
@@ -225,7 +247,7 @@ def make_cv_train_step(cfg: Config, tx: optax.GradientTransformation,
         feats = fused[:, feat_slice]
 
         def loss_fn(params):
-            logits, new_hists = gcn_cv.apply(
+            logits, new_hists = cv_apply(
                 params, cfg.model, mb, feats, train=True, dropout_rng=sub,
                 h_hist=h_hist, agg_hist=agg_hist,
             )

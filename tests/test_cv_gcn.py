@@ -90,3 +90,17 @@ def test_cv_history_scatter_roundtrip(learn_ds):
     # histories must have been written for trained vertices
     assert np.abs(tr.cv_history.hist[0]).sum() > 0
     assert np.abs(tr.cv_history.agg[0]).sum() > 0
+
+
+@pytest.mark.parametrize("on_device", [False, True])
+def test_cv_bf16_compute(learn_ds, on_device):
+    """Mixed-precision cv-GCN: bf16 fwd/bwd + histories, f32 state."""
+    cfg = _cfg(1)
+    cfg.train.dtype = "bfloat16"
+    cfg.train.on_device_sampling = on_device
+    from pagraph_tpu.train.loop import Trainer
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(4)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
