@@ -132,9 +132,26 @@ def build_config(args, *, feat_dim: int, n_classes: int) -> pg.Config:
     return cfg
 
 
+def add_multihost_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of process 0; presence enables "
+                        "multi-process (multi-host) training over "
+                        "jax.distributed")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--feature-source", choices=["cache", "ici"],
+                   default="cache",
+                   help="multi-chip feature placement: per-chip HBM cache "
+                        "of its partition, or the full matrix disjointly "
+                        "sharded over the mesh with all_to_all halo fetch")
+
+
 def setup_platform(warm_bytes: int = 1 << 30,
                    fast_prng: bool = False,
-                   cpu_devices: int = 0) -> None:
+                   cpu_devices: int = 0,
+                   coordinator: "str | None" = None,
+                   num_processes: int = 1,
+                   process_id: int = 0) -> None:
     if cpu_devices:
         # Virtual host devices for multi-chip runs without the chips (the
         # same fake backend tests/conftest.py uses).  Legal only before the
@@ -150,6 +167,10 @@ def setup_platform(warm_bytes: int = 1 << 30,
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if coordinator:
+        from pagraph_tpu.parallel.multihost import init_distributed
+
+        init_distributed(coordinator, num_processes, process_id)
 
     from pagraph_tpu.utils.platform import (
         enable_compilation_cache,

@@ -42,11 +42,22 @@ def main(argv=None):
     common.add_cache_flags(p)
     common.add_train_flags(p)
     common.add_partition_flags(p)
+    common.add_multihost_flags(p)
     args = p.parse_args(argv)
 
     common.setup_platform(fast_prng=args.fast_prng,
-                          cpu_devices=args.cpu_devices)
+                          cpu_devices=args.cpu_devices,
+                          coordinator=args.coordinator,
+                          num_processes=args.num_processes,
+                          process_id=args.process_id)
     import jax
+
+    is_proc0 = jax.process_index() == 0
+    if args.coordinator and args.partition != jax.device_count():
+        p.error(
+            f"multi-process training needs --partition == global device "
+            f"count ({jax.device_count()}), got {args.partition}"
+        )
 
     from pagraph_tpu.data.formats import load_dataset
     from pagraph_tpu.data.synthetic import synthetic_dataset
@@ -79,23 +90,25 @@ def main(argv=None):
                 from pagraph_tpu.partition import apply_reordering, reorder_map
                 ds = apply_reordering(ds, reorder_map(ds.graph))
             tr = DataParallelTrainer.from_dataset(
-                cfg, ds, mesh=mesh, seed=args.seed, log=True
+                cfg, ds, mesh=mesh, seed=args.seed, log=is_proc0,
+                feature_source=args.feature_source,
             )
         else:
             from pagraph_tpu.train.loop import Trainer
             tr = Trainer.from_dataset(cfg, ds, seed=args.seed, log=True)
         summary = tr.train(args.epochs)
 
-    print(tr.timers.report(), file=sys.stderr)
-    print(
-        f"mean epoch time (excl. {cfg.train.warmup_epochs} warm-up): "
-        f"{summary['mean_epoch_time_s']:.3f}s | "
-        f"final loss {summary['final_loss']:.4f} | "
-        f"miss rate {summary['miss_rate']:.1%}"
-    )
-    if args.json:
-        out = {k: v for k, v in summary.items() if k != "phase_timers"}
-        print(json.dumps(out))
+    if is_proc0:
+        print(tr.timers.report(), file=sys.stderr)
+        print(
+            f"mean epoch time (excl. {cfg.train.warmup_epochs} warm-up): "
+            f"{summary['mean_epoch_time_s']:.3f}s | "
+            f"final loss {summary['final_loss']:.4f} | "
+            f"miss rate {summary['miss_rate']:.1%}"
+        )
+        if args.json:
+            out = {k: v for k, v in summary.items() if k != "phase_timers"}
+            print(json.dumps(out))
     return summary
 
 

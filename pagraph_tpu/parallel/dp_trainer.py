@@ -30,6 +30,8 @@ from ..train.loop import EpochMetrics
 from ..train.state import create_state
 from ..utils.timers import PhaseTimers
 from .mesh import dp_sharding, make_mesh, replicated
+from .multihost import (host_fold_key, is_multiprocess, local_dp_rows,
+                        place_dp, place_replicated)
 from .train_step import make_dp_train_step
 
 
@@ -74,6 +76,13 @@ class DataParallelTrainer:
             field_names.append("neigh")
 
         self._device_mode = cfg.train.on_device_sampling
+        self._mp = is_multiprocess()
+        if self._mp and not self._device_mode:
+            raise NotImplementedError(
+                "multi-process training drives the whole-epoch on-device "
+                "paths (train.on_device_sampling=True); the per-batch host "
+                "pipeline is a single-controller mode"
+            )
         if self._device_mode and feature_source == "ici" and full_graph is None:
             raise ValueError(
                 "on_device_sampling with feature_source='ici' samples the "
@@ -106,7 +115,7 @@ class DataParallelTrainer:
             for p in self.parts
         ]
         self.state, self._tx = create_state(cfg, seed=seed)
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.state = place_replicated(self.state, self.mesh)
         self._dp = dp_sharding(self.mesh)
         self._cache_stacked: Optional[jax.Array] = None
         offsets = self.caches[0].field_offsets
@@ -154,7 +163,7 @@ class DataParallelTrainer:
             counts[r] = len(p.train_nids)
             train_nids[r, : counts[r]] = p.train_nids
             labels[r, : len(p.labels)] = p.labels
-        put = lambda x: jax.device_put(x, self._dp)
+        put = lambda x: place_dp(x, self.mesh)
         self._dev_indptr = put(indptr)
         self._dev_indices = put(indices)
         self._dev_train_nids = put(train_nids)
@@ -165,7 +174,13 @@ class DataParallelTrainer:
         self.epoch_fn = make_dp_device_epoch_fn(
             self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches
         )
+        self._set_epoch_key(seed)
+
+    def _set_epoch_key(self, seed: int) -> None:
         self._epoch_key = jax.random.PRNGKey(seed ^ 0x5EED)
+        # multi-process dispatch passes the folded key as host data (every
+        # process derives the identical value); see multihost.host_fold_key
+        self._epoch_key_host = np.asarray(self._epoch_key)
 
     def _init_ici_device_mode(self, offsets, seed, field_names) -> None:
         """Full-graph CSR replicated per chip, features ICI-sharded; the
@@ -177,24 +192,46 @@ class DataParallelTrainer:
         if g.num_edges >= np.iinfo(np.int32).max:
             raise ValueError("full-graph edge count overflows int32")
         D = self.mesh.devices.size
-        rep = replicated(self.mesh)
-        put_rep = lambda x: jax.device_put(jnp.asarray(x), rep)
+        put_rep = lambda x: place_replicated(np.asarray(x), self.mesh)
         self._dev_indptr = put_rep(g.indptr.astype(np.int32))
         self._dev_indices = put_rep(g.indices)
         self._dev_train_nids = put_rep(
             np.asarray(self._full_train_nids, dtype=np.int32))
         self._dev_labels = put_rep(
             np.asarray(self._full_labels, dtype=np.int32))
-        fused = self.store.gather(
-            field_names, np.arange(self.store.num_nodes, dtype=np.int64))
+        n = self.store.num_nodes
+        total_dim = self.caches[0].total_dim
+        dim = total_dim + (-total_dim) % 128   # lane-align the exchange rows
         if self.cfg.cache.dtype == "bfloat16":
             import ml_dtypes
-            fused = fused.astype(ml_dtypes.bfloat16)
-        pad = (-fused.shape[1]) % 128          # lane-align the exchange rows
-        if pad:
-            fused = np.pad(fused, ((0, 0), (0, pad)))
-        stack, self._shard_rows = shard_features(fused, D)
-        self._feat_shards = jax.device_put(stack, self._dp)
+            fdtype = ml_dtypes.bfloat16
+        else:
+            fdtype = np.float32
+        if self._mp:
+            # host-DRAM tier at multi-host scale: each process gathers ONLY
+            # the feature rows its chips own (owner(v) = v // shard_rows,
+            # matching halo.shard_features)
+            self._shard_rows = shard_rows = -(-n // D)
+
+            def feat_row(r: int) -> np.ndarray:
+                lo, hi = r * shard_rows, min(n, (r + 1) * shard_rows)
+                f = self.store.gather(
+                    field_names, np.arange(lo, hi, dtype=np.int64))
+                out = np.zeros((shard_rows, dim), dtype=fdtype)
+                out[: hi - lo, : f.shape[1]] = f
+                return out
+
+            self._feat_shards = place_dp(
+                feat_row, self.mesh, shape=(D, shard_rows, dim), dtype=fdtype)
+            stack_shape = (D, shard_rows, dim)
+        else:
+            fused = self.store.gather(
+                field_names, np.arange(n, dtype=np.int64)).astype(fdtype)
+            if dim > fused.shape[1]:
+                fused = np.pad(fused, ((0, 0), (0, dim - fused.shape[1])))
+            stack, self._shard_rows = shard_features(fused, D)
+            self._feat_shards = jax.device_put(stack, self._dp)
+            stack_shape = stack.shape
         B = self.cfg.sampler.batch_size
         cap0 = B
         for f in self.cfg.sampler.hop_fanouts():
@@ -206,17 +243,22 @@ class DataParallelTrainer:
             self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches,
             self._shard_rows, self._halo_width,
         )
-        self._epoch_key = jax.random.PRNGKey(seed ^ 0x5EED)
+        self._set_epoch_key(seed)
         self.halo_drops = 0
         if self.log:
-            print(f"[ici-device] {self.store.num_nodes} x {fused.shape[1]} "
-                  f"features sharded {stack.shape}, halo width "
+            print(f"[ici-device] {n} x {total_dim} "
+                  f"features sharded {stack_shape}, halo width "
                   f"{self._halo_width}, {self._dev_num_batches} steps/chip")
 
     def _fill_caches_device(self) -> None:
-        """Full per-partition caches, padded to a uniform [max_n, dim]."""
+        """Full per-partition caches, padded to a uniform [max_n, dim].
+        Multi-process, only the partitions owned by this process's devices
+        are gathered — each host's DRAM holds 1/num_hosts of the features."""
         max_n = max(p.num_nodes for p in self.parts)
-        for cache in self.caches:
+        rows = (local_dp_rows(self.mesh) if self._mp
+                else list(range(len(self.caches))))
+        for r in rows:
+            cache = self.caches[r]
             cache.fill(capacity=cache.graph.num_nodes,
                        rank_by=self.cfg.cache.rank_by)
             if not cache.fully_cached:
@@ -225,8 +267,18 @@ class DataParallelTrainer:
                 pad = max_n - cache.cache_values.shape[0]
                 cache.cache_values = jnp.pad(cache.cache_values,
                                              ((0, pad), (0, 0)))
-        stacked = np.stack([np.asarray(c.cache_values) for c in self.caches])
-        self._cache_stacked = jax.device_put(stacked, self._dp)
+        if self._mp:
+            ref = self.caches[rows[0]].cache_values
+            self._cache_stacked = place_dp(
+                lambda r: np.asarray(self.caches[r].cache_values),
+                self.mesh,
+                shape=(len(self.caches), max_n, ref.shape[1]),
+                dtype=ref.dtype,
+            )
+        else:
+            stacked = np.stack(
+                [np.asarray(c.cache_values) for c in self.caches])
+            self._cache_stacked = jax.device_put(stacked, self._dp)
         if self.log:
             print(f"[cache] full per-chip caches, {max_n} rows each")
 
@@ -454,7 +506,8 @@ class DataParallelTrainer:
         ici = self.feature_source == "ici"
         if not ici and self._cache_stacked is None:
             self._fill_caches_device()
-        key = jax.random.fold_in(self._epoch_key, epoch)
+        key = (host_fold_key(self._epoch_key_host, epoch) if self._mp
+               else jax.random.fold_in(self._epoch_key, epoch))
         if ici:
             self.state, acc = self.epoch_fn(
                 self.state, key, self._dev_train_nids,
@@ -528,7 +581,9 @@ class DataParallelTrainer:
         return {
             "epochs": len(self.epoch_metrics),
             "num_devices": int(self.mesh.devices.size),
+            "num_processes": int(jax.process_count()),
             "mean_epoch_time_s": float(np.mean([m.time_s for m in steady])),
+            "first_loss": self.epoch_metrics[0].mean_loss,
             "final_loss": self.epoch_metrics[-1].mean_loss,
             "final_acc": self.epoch_metrics[-1].mean_acc,
             "miss_rate": self.epoch_metrics[-1].miss_rate,

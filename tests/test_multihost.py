@@ -1,0 +1,76 @@
+"""Multi-process (multi-host) training: 2 controller processes x 2 virtual
+CPU devices each = one global 4-device mesh, gradients pmean'd across
+processes with gloo collectives — the single-machine stand-in for an N-host
+TPU pod (reference is single-machine by construction: loopback sockets,
+PaGraph/parallel/dataloader.py:34; NCCL DDP, examples/profile/pa_gcn.py:18).
+
+The multi-process run must produce the SAME training trajectory as a
+single-process run over an identical 4-device mesh: shard_map semantics do
+not care which controller owns a device (only reduction fp ordering may
+differ).
+"""
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+TRAIN = ["-m", "pagraph_tpu.cli.train"]
+COMMON = [
+    "--synthetic", "2000", "--synthetic-edges", "16000",
+    "--feat-size", "32", "--n-hidden", "16", "--n-classes", "8",
+    "--batch-size", "128", "--epochs", "3", "--partition", "4",
+    "--on-device", "--seed", "7", "--json", "--log-every", "10000",
+]
+
+
+def _run_single(tmp_path, extra):
+    """Single-process 4-virtual-device reference run (in a subprocess so
+    the pytest process's jax state is untouched)."""
+    import os
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    out = tmp_path / "single.json"
+    with open(out, "w") as f:
+        subprocess.run(
+            [sys.executable, *TRAIN, *COMMON, *extra, "--cpu-devices", "4"],
+            env=env, stdout=f, timeout=420, check=True)
+    return json.loads(out.read_text().strip().splitlines()[-1])
+
+
+def _run_multi(tmp_path, extra, nprocs=2):
+    from pagraph_tpu.parallel.multihost import spawn_local
+
+    outs = [str(tmp_path / f"proc{i}.json") for i in range(nprocs)]
+    codes = spawn_local(
+        [*TRAIN, *COMMON, *extra, "--cpu-devices", str(4 // nprocs)],
+        nprocs, timeout=420, stdout_paths=outs)
+    assert codes == [0] * nprocs, codes
+    with open(outs[0]) as f:
+        return json.loads(f.read().strip().splitlines()[-1])
+
+
+@pytest.mark.parametrize("mode", ["cache", "ici"])
+def test_multiprocess_matches_single_process(tmp_path, mode):
+    extra = ["--feature-source", mode]
+    if mode == "ici":
+        # ici needs lane-padded exchange; defaults are fine, keep it small
+        extra += ["--batch-size", "64"]
+    multi = _run_multi(tmp_path, extra)
+    single = _run_single(tmp_path, extra)
+    assert multi["num_processes"] == 2
+    assert multi["num_devices"] == 4 == single["num_devices"]
+    # same mesh semantics, same seeds -> same trajectory up to reduction
+    # fp ordering (gloo vs single-process XLA all-reduce)
+    np.testing.assert_allclose(multi["first_loss"], single["first_loss"],
+                               rtol=2e-3)
+    np.testing.assert_allclose(multi["final_loss"], single["final_loss"],
+                               rtol=2e-2)
+    # and it actually learns
+    assert multi["final_loss"] < multi["first_loss"]
