@@ -59,6 +59,8 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--ckpt-dir", type=str, default=None)
     p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest checkpoint in --ckpt-dir")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--isolate", action="store_true",
                    help="isolation mode: sampling in worker processes "

@@ -96,7 +96,8 @@ def main(argv=None):
         else:
             from pagraph_tpu.train.loop import Trainer
             tr = Trainer.from_dataset(cfg, ds, seed=args.seed, log=True)
-        summary = tr.train(args.epochs)
+        start = tr.resume() if args.resume else 0
+        summary = tr.train(args.epochs, start_epoch=start)
 
     if is_proc0:
         print(tr.timers.report(), file=sys.stderr)

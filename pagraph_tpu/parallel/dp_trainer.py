@@ -552,11 +552,13 @@ class DataParallelTrainer:
         t_done = time.perf_counter()
         return self._device_epoch_metrics(epoch, np.asarray(acc), t_done - t0)
 
-    def _train_on_device(self, epochs: int) -> None:
+    def _train_on_device(self, epochs: int, start_epoch: int = 0) -> None:
         """Overlapped epoch dispatches (see Trainer._train_on_device)."""
+        if start_epoch >= epochs:
+            return
         prev = None
         prev_t = time.perf_counter()
-        for e in range(epochs):
+        for e in range(start_epoch, epochs):
             with self.timers.scope("step"):
                 acc = self._dispatch_device_epoch(e)
             if prev is not None:
@@ -569,13 +571,56 @@ class DataParallelTrainer:
         t = time.perf_counter()
         self._device_epoch_metrics(epochs - 1, np.asarray(prev), t - prev_t)
 
-    def train(self, epochs: Optional[int] = None) -> Dict:
+    # -- checkpointing (same on-disk contract as Trainer / cli.eval) --------
+
+    def _maybe_checkpoint(self, epoch: int) -> None:
+        tc = self.cfg.train
+        if not (tc.ckpt_dir and tc.ckpt_every):
+            return
+        if (epoch + 1) % tc.ckpt_every:
+            return
+        # state is replicated: every process holds the full value; one writes
+        if jax.process_index() == 0:
+            from ..train.checkpoint import save_checkpoint
+
+            save_checkpoint(tc.ckpt_dir, self.cfg.model.arch, epoch,
+                            jax.device_get(self.state))
+
+    def resume(self, epoch: Optional[int] = None) -> int:
+        """Restore the newest (or given) checkpoint into the replicated
+        state; returns the epoch to continue from.  Multi-process, every
+        process restores from the same path (shared filesystem, the normal
+        pod setup)."""
+        from ..train.checkpoint import list_checkpoints, restore_checkpoint
+
+        tc = self.cfg.train
+        if not tc.ckpt_dir:
+            raise ValueError("cfg.train.ckpt_dir is not set")
+        have = list_checkpoints(tc.ckpt_dir, self.cfg.model.arch)
+        if not have:
+            return 0
+        epoch = have[-1] if epoch is None else epoch
+        restored = restore_checkpoint(
+            tc.ckpt_dir, self.cfg.model.arch, epoch,
+            jax.device_get(self.state))
+        self.state = place_replicated(restored, self.mesh)
+        return epoch + 1
+
+    def train(self, epochs: Optional[int] = None, *,
+              start_epoch: int = 0) -> Dict:
         epochs = epochs or self.cfg.train.epochs
-        if self._device_mode:
-            self._train_on_device(epochs)
+        ckpt = bool(self.cfg.train.ckpt_dir and self.cfg.train.ckpt_every)
+        if self._device_mode and not ckpt:
+            self._train_on_device(epochs, start_epoch)
         else:
-            for e in range(epochs):
-                self.run_epoch(e)
+            # per-epoch dispatch (synced at each boundary) so the state can
+            # be snapshotted between epochs
+            for e in range(start_epoch, epochs):
+                if self._device_mode:
+                    self._run_epoch_on_device(e)
+                else:
+                    self.run_epoch(e)
+                self._maybe_checkpoint(e)
         w = self.cfg.train.warmup_epochs
         steady = self.epoch_metrics[w:] or self.epoch_metrics
         return {

@@ -118,3 +118,35 @@ def test_dp_on_device_gat(learn_ds):
     tr.train(3)
     losses = [m.mean_loss for m in tr.epoch_metrics]
     assert losses[-1] < losses[0], losses
+
+
+def test_dp_checkpoint_resume(learn_ds, tmp_path):
+    """Crash/resume on the multi-chip on-device path: a run resumed from
+    epoch 1's checkpoint reproduces the uninterrupted trajectory (epoch keys
+    fold by absolute epoch; rng rides in the checkpointed state)."""
+    mesh = make_mesh(4)
+
+    def cfg_with(ckpt_dir):
+        cfg = _cfg()
+        cfg.train.on_device_sampling = True
+        cfg.train.ckpt_dir = ckpt_dir
+        cfg.train.ckpt_every = 1
+        return cfg
+
+    ck = str(tmp_path / "dpck")
+    tr = DataParallelTrainer.from_dataset(cfg_with(ck), learn_ds,
+                                          mesh=mesh, seed=3)
+    tr.train(4)
+    full = [m.mean_loss for m in tr.epoch_metrics]
+
+    ck2 = str(tmp_path / "dpck2")
+    tr1 = DataParallelTrainer.from_dataset(cfg_with(ck2), learn_ds,
+                                           mesh=mesh, seed=3)
+    tr1.train(2)
+    tr2 = DataParallelTrainer.from_dataset(cfg_with(ck2), learn_ds,
+                                           mesh=mesh, seed=3)
+    start = tr2.resume()
+    assert start == 2
+    tr2.train(4, start_epoch=start)
+    resumed = [m.mean_loss for m in tr2.epoch_metrics]
+    np.testing.assert_allclose(resumed, full[2:], rtol=1e-5)
