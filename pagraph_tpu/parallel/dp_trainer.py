@@ -83,6 +83,13 @@ class DataParallelTrainer:
                 "paths (train.on_device_sampling=True); the per-batch host "
                 "pipeline is a single-controller mode"
             )
+        if cfg.model.arch == "gcn_cv" and (not self._device_mode
+                                           or feature_source == "ici"):
+            raise NotImplementedError(
+                "multi-chip gcn_cv needs device-resident per-partition "
+                "histories: set train.on_device_sampling=True with "
+                "feature_source='cache'"
+            )
         if self._device_mode and feature_source == "ici" and full_graph is None:
             raise ValueError(
                 "on_device_sampling with feature_source='ici' samples the "
@@ -171,10 +178,51 @@ class DataParallelTrainer:
         self._dev_labels = put(labels)
         B = self.cfg.sampler.batch_size
         self._dev_num_batches = int(max(-(-c // B) for c in counts))
-        self.epoch_fn = make_dp_device_epoch_fn(
-            self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches
-        )
+        self._is_cv = self.cfg.model.arch == "gcn_cv"
+        if self._is_cv:
+            self._init_dp_cv(offsets, max_n, max_e, put)
+        else:
+            self.epoch_fn = make_dp_device_epoch_fn(
+                self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches
+            )
         self._set_epoch_key(seed)
+
+    def _init_dp_cv(self, offsets, max_n: int, max_e: int, put) -> None:
+        """Per-chip control-variate state: history/agg-history arrays over
+        each partition's local vertex space, plus each chip's padded edge
+        list for the end-of-epoch exact refresh (see
+        train/device_epoch.py make_dp_cv_device_epoch_fn)."""
+        from ..models.gcn_cv import layer_widths
+        from ..train.device_epoch import make_dp_cv_device_epoch_fn
+
+        parts = self.parts
+        D = len(parts)
+        widths = layer_widths(self.cfg.model)
+        self._dev_hists = tuple(
+            put(np.zeros((D, max_n, w), np.float32)) for w in widths)
+        self._dev_aggs = tuple(
+            put(np.zeros((D, max_n, w), np.float32)) for w in widths)
+        chunk = min(1 << 20, max(max_e, 1))
+        padded_e = -(-max_e // chunk) * chunk
+        ch = padded_e // chunk
+        esrc = np.zeros((D, padded_e), np.int32)
+        edst = np.full((D, padded_e), max_n, np.int32)   # sentinel: dropped
+        invdeg = np.ones((D, max_n), np.float32)
+        for r, p in enumerate(parts):
+            g = p.graph
+            e, n = g.num_edges, g.num_nodes
+            esrc[r, :e] = g.indices
+            edst[r, :e] = np.repeat(np.arange(n, dtype=np.int32),
+                                    g.in_degrees.astype(np.int64))
+            invdeg[r, :n] = (1.0 / np.maximum(g.in_degrees, 1)
+                             ).astype(np.float32)
+        self._dev_esrc = put(esrc.reshape(D, ch, chunk))
+        self._dev_edst = put(edst.reshape(D, ch, chunk))
+        self._dev_invdeg = put(invdeg)
+        self.epoch_fn = make_dp_cv_device_epoch_fn(
+            self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches,
+            max_n,
+        )
 
     def _set_epoch_key(self, seed: int) -> None:
         self._epoch_key = jax.random.PRNGKey(seed ^ 0x5EED)
@@ -508,6 +556,15 @@ class DataParallelTrainer:
             self._fill_caches_device()
         key = (host_fold_key(self._epoch_key_host, epoch) if self._mp
                else jax.random.fold_in(self._epoch_key, epoch))
+        if getattr(self, "_is_cv", False):
+            (self.state, self._dev_hists, self._dev_aggs,
+             acc) = self.epoch_fn(
+                self.state, self._dev_hists, self._dev_aggs, key,
+                self._dev_train_nids, self._dev_counts, self._dev_labels,
+                self._dev_indptr, self._dev_indices, self._cache_stacked,
+                self._dev_esrc, self._dev_edst, self._dev_invdeg,
+            )
+            return acc
         if ici:
             self.state, acc = self.epoch_fn(
                 self.state, key, self._dev_train_nids,

@@ -104,3 +104,36 @@ def test_cv_bf16_compute(learn_ds, on_device):
     losses = [m.mean_loss for m in tr.epoch_metrics]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_dp_on_device_cv_trains(learn_ds):
+    """Multi-chip control-variate GCN: per-partition device-resident
+    histories, pmean'd grads, deterministic."""
+    from pagraph_tpu.parallel import DataParallelTrainer, make_mesh
+
+    def build():
+        cfg = _cfg()
+        cfg.partition = pg.PartitionConfig(
+            num_parts=4, num_hops=cfg.model.num_sampled_hops)
+        cfg.train.on_device_sampling = True
+        return DataParallelTrainer.from_dataset(
+            cfg, learn_ds, mesh=make_mesh(4), seed=5)
+
+    tr = build()
+    tr.train(4)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0] * 0.9, losses
+    tr2 = build()
+    tr2.train(4)
+    np.testing.assert_allclose(
+        losses, [m.mean_loss for m in tr2.epoch_metrics], rtol=1e-6)
+
+
+def test_dp_cv_host_pipeline_raises(learn_ds):
+    from pagraph_tpu.parallel import DataParallelTrainer, make_mesh
+
+    cfg = _cfg()
+    cfg.partition = pg.PartitionConfig(
+        num_parts=4, num_hops=cfg.model.num_sampled_hops)
+    with pytest.raises(NotImplementedError, match="on_device_sampling"):
+        DataParallelTrainer.from_dataset(cfg, learn_ds, mesh=make_mesh(4))
