@@ -12,7 +12,8 @@ import pagraph_tpu as pg
 
 
 def add_model_flags(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--arch", choices=["gcn", "graphsage", "gcn_cv", "gat"],
+    p.add_argument("--arch",
+                   choices=["gcn", "graphsage", "gcn_cv", "gat", "gin"],
                    default="gcn")
     p.add_argument("--n-layers", type=int, default=1,
                    help="hidden layers (total GNN layers = n_layers + 1)")

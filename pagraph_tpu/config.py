@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 
 @dataclasses.dataclass
 class ModelConfig:
-    arch: str = "gcn"                 # gcn | graphsage | gcn_cv | gat
+    arch: str = "gcn"                 # gcn | graphsage | gcn_cv | gat | gin
     n_layers: int = 1                 # hidden layers (reference convention: total GNN layers = n_layers + 1)
     hidden: int = 32
     feat_dim: int = 600
@@ -172,7 +172,7 @@ class Config:
 
     def validate(self) -> None:
         m, s = self.model, self.sampler
-        if m.arch not in ("gcn", "graphsage", "gcn_cv", "gat"):
+        if m.arch not in ("gcn", "graphsage", "gcn_cv", "gat", "gin"):
             raise ValueError(f"unknown arch {m.arch!r}")
         if m.aggregator not in ("mean", "gcn", "pool", "lstm"):
             raise ValueError(f"unknown aggregator {m.aggregator!r}")
@@ -189,6 +189,11 @@ class Config:
                 )
             if m.num_heads < 1:
                 raise ValueError("gat needs num_heads >= 1")
+        if m.arch == "gin" and m.preprocess:
+            raise ValueError(
+                "gin needs the raw (1+eps)*self + sum update: the store's "
+                "mean pre-aggregation would change the model"
+            )
         s.hop_fanouts()                 # raises on bad per-hop fanouts
         # The one cross-phase contract the reference leaves to the user:
         if s.num_hops != m.num_sampled_hops:

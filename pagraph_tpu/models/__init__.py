@@ -23,4 +23,7 @@ def get_model(cfg: ModelConfig) -> Tuple[Callable, Callable]:
     if cfg.arch == "gat":
         from . import gat
         return gat.init_params, gat.apply
+    if cfg.arch == "gin":
+        from . import gin
+        return gin.init_params, gin.apply
     raise ValueError(f"unknown arch {cfg.arch!r}")

@@ -178,6 +178,20 @@ def full_graph_logits(
             else:
                 h = out
         return h
+    if cfg.arch == "gin":
+        for li, p in enumerate(params["updates"]):
+            # exact full-neighborhood injective update (train sums over the
+            # sampled fanout; see models/gin.py)
+            pre = (1.0 + np.float32(p["eps"])) * h + adj @ h
+            out = dev_linear(p["w2"],
+                             np.maximum(dev_linear(p["w1"], pre), 0.0))
+            if li == nl - 1 and cfg.skip_connection:
+                h = np.concatenate([out, np.maximum(out, 0.0)], axis=1)
+            elif li < nl:
+                h = np.maximum(out, 0.0)
+            else:
+                h = out
+        return h
     if cfg.arch == "gat":
         return _gat_full_graph_host(params, cfg, graph, h)
     raise NotImplementedError(f"full-graph inference for {cfg.arch}")
@@ -243,6 +257,17 @@ def _full_graph_logits_device(params: dict, cfg: ModelConfig,
             if kind == "mean":
                 h_agg = h_agg * norm
             out = linear(p["self"], h) + linear(p["neigh"], h_agg)
+            if li == nl - 1 and cfg.skip_connection:
+                h = jnp.concatenate([out, ACT(out)], axis=1)
+            elif li < nl:
+                h = ACT(out)
+            else:
+                h = out
+        return np.asarray(h)
+    if cfg.arch == "gin":
+        for li, p in enumerate(params["updates"]):
+            pre = (1.0 + p["eps"]) * h + edges.aggregate(h, "sum")
+            out = linear(p["w2"], ACT(linear(p["w1"], pre)))
             if li == nl - 1 and cfg.skip_connection:
                 h = jnp.concatenate([out, ACT(out)], axis=1)
             elif li < nl:

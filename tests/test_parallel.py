@@ -108,6 +108,17 @@ def test_dp_gat(learn_ds):
     assert losses[-1] < losses[0]
 
 
+def test_dp_on_device_gin(learn_ds):
+    mesh = make_mesh(4)
+    cfg = _cfg(arch="gin")
+    cfg.model.dropout = 0.0
+    cfg.train.on_device_sampling = True
+    tr = DataParallelTrainer.from_dataset(cfg, learn_ds, mesh=mesh, seed=0)
+    tr.train(3)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0], losses
+
+
 def test_dp_on_device_gat(learn_ds):
     mesh = make_mesh(4)
     cfg = _cfg(arch="gat")
