@@ -60,6 +60,9 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--ckpt-dir", type=str, default=None)
     p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="validation accuracy via full-neighborhood "
+                        "inference every N epochs (0 = off)")
     p.add_argument("--resume", action="store_true",
                    help="continue from the newest checkpoint in --ckpt-dir")
     p.add_argument("--seed", type=int, default=0)
@@ -127,6 +130,7 @@ def build_config(args, *, feat_dim: int, n_classes: int) -> pg.Config:
             log_every=args.log_every,
             ckpt_dir=args.ckpt_dir,
             ckpt_every=args.ckpt_every,
+            eval_every=getattr(args, "eval_every", 0),
             remote_sampling=getattr(args, "isolate", False),
             on_device_sampling=getattr(args, "on_device", False),
             dtype=getattr(args, "compute_dtype", "float32"),

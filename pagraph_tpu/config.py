@@ -141,6 +141,11 @@ class TrainConfig:
     warmup_epochs: int = 2            # excluded from epoch-time mean (reference: pa_gcn.py:106)
     ckpt_dir: Optional[str] = None
     ckpt_every: int = 0               # epochs between checkpoints; 0 = off
+    eval_every: int = 0               # epochs between validation-accuracy
+                                      # evals (full-neighborhood inference
+                                      # over the val mask); 0 = off.  The
+                                      # reference only evaluates offline
+                                      # (examples/eval.py)
     remote_sampling: bool = False     # isolation mode: sampling in worker procs
     on_device_sampling: bool = False  # sample inside jit; whole epoch = one
                                       # dispatch (needs graph + full feature
@@ -211,6 +216,11 @@ class Config:
         if self.cache.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"cache.dtype must be float32|bfloat16, "
                              f"got {self.cache.dtype!r}")
+        if t.eval_every and m.preprocess:
+            raise ValueError(
+                "eval_every uses full-neighborhood inference, which "
+                "consumes raw features: incompatible with preprocess"
+            )
         if t.on_device_sampling:
             if t.remote_sampling:
                 raise ValueError(

@@ -53,6 +53,7 @@ class DataParallelTrainer:
         full_graph=None,                 # needed for ici + on-device sampling
         full_train_nids: Optional[np.ndarray] = None,
         full_labels: Optional[np.ndarray] = None,
+        full_val_mask: Optional[np.ndarray] = None,  # for train.eval_every
     ):
         self.cfg = cfg
         self.store = store
@@ -68,6 +69,13 @@ class DataParallelTrainer:
         self._full_graph = full_graph
         self._full_train_nids = full_train_nids
         self._full_labels = full_labels
+        self._full_val_mask = full_val_mask
+        if cfg.train.eval_every and (full_graph is None or full_labels is None
+                                     or full_val_mask is None):
+            raise ValueError(
+                "cfg.train.eval_every needs full_graph/full_labels/"
+                "full_val_mask (from_dataset wires them automatically)"
+            )
         self._epoch_edges = 0
         self._epoch_vertices = 0
 
@@ -384,7 +392,7 @@ class DataParallelTrainer:
         return cls(cfg, store, parts, mesh=mesh, seed=seed, log=log,
                    feature_source=feature_source,
                    full_graph=ds.graph, full_train_nids=ds.train_nids,
-                   full_labels=ds.labels)
+                   full_labels=ds.labels, full_val_mask=ds.val_mask)
 
     # -- cache ---------------------------------------------------------------
 
@@ -663,11 +671,30 @@ class DataParallelTrainer:
         self.state = place_replicated(restored, self.mesh)
         return epoch + 1
 
+    def _maybe_eval(self, epoch: int) -> None:
+        """Validation accuracy over the FULL graph every
+        ``cfg.train.eval_every`` epochs (params are replicated; process 0
+        logs).  eval_every rejects preprocess, so the store holds raw
+        features."""
+        ev = self.cfg.train.eval_every
+        if not ev or (epoch + 1) % ev != 0:
+            return
+        from ..models.inference import evaluate
+
+        params = jax.device_get(self.state.params)
+        acc = evaluate(params, self.cfg.model, self._full_graph,
+                       self.store.fields["features"], self._full_labels,
+                       self._full_val_mask)
+        if self.epoch_metrics:
+            self.epoch_metrics[-1].val_acc = acc
+        if self.log:
+            print(f"  [eval] epoch {epoch}: val acc {acc:.3f}")
+
     def train(self, epochs: Optional[int] = None, *,
               start_epoch: int = 0) -> Dict:
         epochs = epochs or self.cfg.train.epochs
         ckpt = bool(self.cfg.train.ckpt_dir and self.cfg.train.ckpt_every)
-        if self._device_mode and not ckpt:
+        if self._device_mode and not ckpt and not self.cfg.train.eval_every:
             self._train_on_device(epochs, start_epoch)
         else:
             # per-epoch dispatch (synced at each boundary) so the state can
@@ -677,6 +704,7 @@ class DataParallelTrainer:
                     self._run_epoch_on_device(e)
                 else:
                     self.run_epoch(e)
+                self._maybe_eval(e)
                 self._maybe_checkpoint(e)
         w = self.cfg.train.warmup_epochs
         steady = self.epoch_metrics[w:] or self.epoch_metrics
@@ -689,5 +717,8 @@ class DataParallelTrainer:
             "final_loss": self.epoch_metrics[-1].mean_loss,
             "final_acc": self.epoch_metrics[-1].mean_acc,
             "miss_rate": self.epoch_metrics[-1].miss_rate,
+            "val_acc": next(
+                (m.val_acc for m in reversed(self.epoch_metrics)
+                 if m.val_acc is not None), None),
             "phase_timers": self.timers.summary(),
         }

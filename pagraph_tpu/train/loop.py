@@ -36,6 +36,7 @@ class EpochMetrics:
     num_batches: int
     edges: int = 0          # valid sampled edges aggregated this epoch
     vertices: int = 0       # valid vertices loaded this epoch
+    val_acc: Optional[float] = None   # set on eval_every epochs
 
 
 class Trainer:
@@ -53,11 +54,20 @@ class Trainer:
         device: Optional[jax.Device] = None,
         seed: int = 0,
         log: bool = False,
+        eval_data: Optional[tuple] = None,  # (graph, features, labels, mask)
+                                            # in FULL-graph space, for
+                                            # cfg.train.eval_every
     ):
         self.cfg = cfg
         self.store = store
         self.device = device
         self.log = log
+        self._eval_data = eval_data
+        if cfg.train.eval_every and eval_data is None:
+            raise ValueError(
+                "cfg.train.eval_every is set but no eval_data was given "
+                "(Trainer.from_dataset wires it automatically)"
+            )
         field_names = ["features"]
         if cfg.model.arch == "graphsage" and cfg.model.preprocess:
             field_names.append("neigh")
@@ -190,6 +200,8 @@ class Trainer:
             # gcn_cv consumes the same mean-preaggregated layer-0 as gcn
             pre = "gcn" if cfg.model.arch in ("gcn", "gcn_cv") else cfg.model.arch
         store = FeatureStore.build(ds.graph, ds.features, preprocess=pre)
+        if cfg.train.eval_every and "eval_data" not in kw:
+            kw["eval_data"] = (ds.graph, ds.features, ds.labels, ds.val_mask)
         return cls(cfg, store, ds.graph, ds.train_nids, ds.labels, **kw)
 
     @classmethod
@@ -415,9 +427,27 @@ class Trainer:
         t = time.perf_counter()
         self._device_epoch_metrics(epochs - 1, np.asarray(prev), t - prev_t)
 
+    def _maybe_eval(self, epoch: int) -> None:
+        """Validation accuracy via full-neighborhood inference every
+        ``cfg.train.eval_every`` epochs (online version of the reference's
+        offline checkpoint-replay eval, examples/eval.py:28-46)."""
+        ev = self.cfg.train.eval_every
+        if not (ev and self._eval_data) or (epoch + 1) % ev != 0:
+            return
+        from ..models.inference import evaluate
+
+        graph, feats, labels, mask = self._eval_data
+        params = jax.device_get(self.state.params)
+        acc = evaluate(params, self.cfg.model, graph, feats, labels, mask)
+        if self.epoch_metrics:
+            self.epoch_metrics[-1].val_acc = acc
+        if self.log:
+            print(f"  [eval] epoch {epoch}: val acc {acc:.3f}")
+
     def train(self, epochs: Optional[int] = None, *, start_epoch: int = 0) -> Dict:
         if self._device_mode and not (self.cfg.train.ckpt_dir
-                                      and self.cfg.train.ckpt_every):
+                                      and self.cfg.train.ckpt_every
+                                      ) and not self.cfg.train.eval_every:
             epochs = epochs or self.cfg.train.epochs
             self._train_on_device(epochs, start_epoch)
             return self.summary()
@@ -450,6 +480,7 @@ class Trainer:
         tc = self.cfg.train
         for e in range(start_epoch, epochs):
             self.run_epoch(e)
+            self._maybe_eval(e)
             if tc.ckpt_dir and tc.ckpt_every and (e + 1) % tc.ckpt_every == 0:
                 from .checkpoint import save_checkpoint
                 save_checkpoint(tc.ckpt_dir, self.cfg.model.arch, e, self.state)
@@ -460,11 +491,14 @@ class Trainer:
         pa_gcn.py:104-106 excludes the first 2)."""
         w = self.cfg.train.warmup_epochs
         steady = self.epoch_metrics[w:] or self.epoch_metrics
+        val_accs = [m.val_acc for m in self.epoch_metrics
+                    if m.val_acc is not None]
         return {
             "epochs": len(self.epoch_metrics),
             "mean_epoch_time_s": float(np.mean([m.time_s for m in steady])),
             "final_loss": self.epoch_metrics[-1].mean_loss if self.epoch_metrics else None,
             "final_acc": self.epoch_metrics[-1].mean_acc if self.epoch_metrics else None,
             "miss_rate": self.epoch_metrics[-1].miss_rate if self.epoch_metrics else None,
+            "val_acc": val_accs[-1] if val_accs else None,
             "phase_timers": self.timers.summary(),
         }

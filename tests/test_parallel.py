@@ -161,3 +161,13 @@ def test_dp_checkpoint_resume(learn_ds, tmp_path):
     tr2.train(4, start_epoch=start)
     resumed = [m.mean_loss for m in tr2.epoch_metrics]
     np.testing.assert_allclose(resumed, full[2:], rtol=1e-5)
+
+
+def test_dp_eval_every(learn_ds):
+    mesh = make_mesh(4)
+    cfg = _cfg()
+    cfg.train.eval_every = 2
+    tr = DataParallelTrainer.from_dataset(cfg, learn_ds, mesh=mesh, seed=0)
+    s = tr.train(2)
+    assert tr.epoch_metrics[-1].val_acc is not None
+    assert s["val_acc"] > 1.5 / 6

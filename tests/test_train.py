@@ -87,3 +87,37 @@ def test_summary_shape(learn_ds):
     assert s["epochs"] == 3
     assert s["mean_epoch_time_s"] > 0
     assert "step" in s["phase_timers"]
+
+
+def test_eval_every_records_val_acc(learn_ds):
+    """Online validation eval (beyond-reference: eval.py is offline-only)."""
+    cfg = _cfg("gcn")
+    cfg.train.eval_every = 2
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    s = tr.train(4)
+    accs = [m.val_acc for m in tr.epoch_metrics]
+    assert accs[0] is None and accs[2] is None           # off-epochs
+    assert accs[1] is not None and accs[3] is not None   # every 2nd
+    assert s["val_acc"] == accs[3]
+    assert accs[3] > 1.5 / 6                             # beats chance
+    assert accs[3] >= accs[1] - 0.1                      # roughly improving
+
+
+def test_eval_every_on_device_path(learn_ds):
+    cfg = _cfg("gcn")
+    cfg.train.eval_every = 3
+    cfg.train.on_device_sampling = True
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(3)
+    assert tr.epoch_metrics[-1].val_acc is not None
+    assert tr.epoch_metrics[-1].val_acc > 1.5 / 6
+
+
+def test_eval_every_rejects_preprocess():
+    with pytest.raises(ValueError, match="eval_every"):
+        pg.Config(
+            model=pg.ModelConfig(arch="gcn", n_layers=1, hidden=8,
+                                 feat_dim=16, n_classes=5, preprocess=True),
+            sampler=pg.SamplerConfig(batch_size=32, fanout=2, num_hops=1),
+            train=pg.TrainConfig(eval_every=2),
+        )
