@@ -68,7 +68,7 @@ def gather_rows_pallas(src: jax.Array, ids: jax.Array, *, tile: int = 256,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(m // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (tile, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -148,7 +148,7 @@ def gather_mean_pallas(src: jax.Array, neigh_pos: jax.Array,
         num_scalar_prefetch=2,
         grid=(m // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # src rows in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # src rows in HBM
         ],
         out_specs=pl.BlockSpec(
             (tile, d), lambda i, pos, valid: (i, 0), memory_space=pltpu.VMEM
