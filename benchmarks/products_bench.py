@@ -82,6 +82,9 @@ def main():
     p.add_argument("--standard", action="store_true",
                    help="OGB-leaderboard shape (batch 1024, fanout 5, "
                         "3 layers, hidden 256) instead of the reference's")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model fwd/bwd dtype (master params stay f32)")
     args = p.parse_args()
 
     from pagraph_tpu.utils.platform import (
@@ -116,7 +119,8 @@ def main():
         model=model,
         sampler=sampler,
         train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
-                             on_device_sampling=True, scan_unroll=2),
+                             on_device_sampling=True, scan_unroll=2,
+                             dtype=args.compute_dtype),
     )
     t0 = time.time()
     tr = Trainer.from_dataset(cfg, ds, seed=0, log=True)
