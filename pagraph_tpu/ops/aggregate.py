@@ -5,9 +5,9 @@ CUDA kernels (reference: PaGraph/model/gcn_nssc.py:71-74,
 graphsage_nssc.py:97-127).  Because blocks are fixed-shape ``(cap_dst,
 fanout)`` index matrices, "copy_src + segment-reduce" collapses to a dense
 gather followed by a masked reduction over the fanout axis — shapes XLA can
-tile straight onto the VPU/MXU.  A fused Pallas variant lives in
-``ops/pallas_agg.py``; this module is the always-available reference
-implementation (also used to validate the kernels).
+tile straight onto the VPU/MXU.  (A fused Pallas gather+mean was measured
+SLOWER than this XLA path on v5e — see ``ops/pallas_gather.py`` docstring
+and BENCH_NOTES.md — so this module is the production path, not a fallback.)
 """
 from __future__ import annotations
 

@@ -135,56 +135,55 @@ def sample_hop(
     Returns ``(nbr int32 [n, fanout], mask bool [n, fanout])``; masked slots
     hold vertex 0 (excluded from aggregation by the mask).  Mirrors the host
     sampler's ``_sample_fanout`` policy exactly — except with
-    ``paired=True``, where each consecutive slot pair comes from one random
-    2-aligned pair of the adjacency list: one 8-byte gather instead of two
-    independent ones (the sampler is HBM-transaction-bound, CLAUDE.md
-    "Gather ceiling").  Per-slot marginals stay uniform (the partner map is
-    a bijection on [0, deg)); the two draws within a pair are correlated
-    instead of independent (distinct pairs stay independent), and for
-    odd-degree vertices the draw o == deg-1 yields a duplicate pair
-    (consistent with with-replacement semantics).  Take-all vertices
-    (deg <= fanout) return exactly the generic path's result.
+    ``paired=True``, the low-transaction window path: ONE random 8-aligned
+    window of the adjacency list (a 32-byte ``dynamic_slice``) serves up to
+    8 fanout slots, so a fanout-5 hop costs one index gather per vertex
+    instead of five (the sampler is HBM-transaction-bound, CLAUDE.md
+    "Gather ceiling"; this generalizes the earlier aligned-PAIR draws —
+    at fanout 2 it draws bit-identical neighbors).  Slot ``j`` takes window
+    element ``(o&7)^j`` where ``o`` is the vertex's uniform draw; XOR is an
+    involution on the window, so when the candidate falls beyond ``deg`` the
+    fallback to element ``o`` itself EXACTLY restores the missing mass —
+    per-slot marginals are exactly uniform over [0, deg) for every degree.
+    Slots within one window are correlated (sampled without replacement
+    from one aligned window; distinct windows stay independent), consistent
+    with with-replacement semantics the way the pair scheme was.  Take-all
+    vertices (deg <= fanout) return exactly the generic path's result.
     """
     n = dst.shape[0]
     starts, deg = ptrs if ptrs is not None else _vertex_ptrs(csr, dst)
     safe = jnp.maximum(deg, 1)
 
-    if paired and fanout >= 2 and csr.indices.shape[0] >= 2:
-        # fanout//2 independent aligned pairs (+ one single draw for odd
-        # fanout) — halves the index-gather transaction count.  Take-all
-        # (deg <= fanout) pins pair j to elements (2j, 2j+1), which
-        # reproduces the generic path's valid slots exactly (masked slots
-        # are zeroed either way).  Degenerate partitions with < 2 edges
-        # fall through to the generic path (dynamic_slice needs 2).
-        npairs = fanout // 2
+    W = 8
+    if paired and fanout >= 2 and csr.indices.shape[0] >= W:
+        # ceil(fanout/8) independent aligned windows; take-all pins window
+        # w's draw to base 8w, reproducing the generic path's valid slots
+        # exactly (masked slots are zeroed either way).  Graphs with < 8
+        # edges fall through to the generic path (dynamic_slice needs W).
+        nwin = -(-fanout // W)
         e = csr.indices.shape[0]
         small = deg[:, None] <= fanout
-        draws = jax.random.randint(key, (n, npairs), 0, jnp.int32(2**31 - 1),
+        draws = jax.random.randint(key, (n, nwin), 0, jnp.int32(2**31 - 1),
                                    dtype=jnp.int32)
-        o = draws % safe[:, None]
-        o = jnp.where(small, 2 * jnp.arange(npairs, dtype=jnp.int32)[None, :],
-                      o)
-        partner = o ^ 1
-        partner = jnp.where(partner < deg[:, None], partner, o)
-        flat = starts[:, None] + (o & ~1)
-        cs = jnp.minimum(jnp.maximum(flat, 0), e - 2)
-        shift = flat - cs
-        pair = jax.vmap(
-            lambda i: jax.lax.dynamic_slice(csr.indices, (i,), (2,))
-        )(cs.ravel()).reshape(n, npairs, 2)
-        sel = (o & 1) + shift                 # != 0 -> element o is lane 1
-        v1 = jnp.where(sel == 0, pair[..., 0], pair[..., 1])
-        vo = jnp.where(sel == 0, pair[..., 1], pair[..., 0])
-        v2 = jnp.where(partner == o, v1, vo)
-        nbr = jnp.stack([v1, v2], axis=2).reshape(n, 2 * npairs)
-        if fanout % 2:
-            xdraw = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0,
-                                       jnp.int32(2**31 - 1), dtype=jnp.int32)
-            xoff = jnp.where(deg <= fanout,
-                             jnp.int32(fanout - 1) % safe, xdraw % safe)
-            xv = jnp.take(csr.indices,
-                          jnp.minimum(starts + xoff, e - 1))
-            nbr = jnp.concatenate([nbr, xv[:, None]], axis=1)
+        o = draws % safe[:, None]                           # [n, nwin]
+        wbase = (W * jnp.arange(nwin, dtype=jnp.int32))[None, :]
+        o = jnp.where(small, wbase, o)
+        cs = jnp.clip(starts[:, None] + (o & ~(W - 1)), 0, e - W)
+        win = jax.vmap(
+            lambda i: jax.lax.dynamic_slice(csr.indices, (i,), (W,))
+        )(cs.ravel()).reshape(n, nwin, W)
+        j = np.arange(fanout)
+        wj, jj = j // W, jnp.asarray(j % W, dtype=jnp.int32)
+        ow = o[:, wj]                                       # [n, fanout]
+        cand = (ow & ~(W - 1)) | ((ow & (W - 1)) ^ jj[None, :])
+        pos = jnp.where(cand < deg[:, None], cand, ow)
+        # lane of element pos inside its fetched window; for deg==0 rows
+        # this can land outside [0, W) — the one-hot select then yields 0,
+        # and the slot is masked anyway
+        lane = (starts[:, None] + pos) - cs[:, wj]
+        lanes = jnp.arange(W, dtype=jnp.int32)
+        nbr = jnp.sum(
+            jnp.where(lane[..., None] == lanes, win[:, wj, :], 0), axis=-1)
         k = jnp.arange(fanout, dtype=jnp.int32)[None, :]
         mask = jnp.where(small, k < deg[:, None], (deg > 0)[:, None])
         mask = jnp.logical_and(mask, dst_mask[:, None])
