@@ -213,21 +213,25 @@ def main():
     if base or partial or full:
         _best_result = build_result(base, partial, full, None)
     device = None
+    plain_eps = paired_eps = None
     if "device" in phases:
         # whole-epoch on-device path: sampling inside jit, zero host bytes
         # per step (train/device_epoch.py) — beyond the reference's reach
         log("[bench] on-device path (epoch = one dispatch)...")
         device = run(ds, cache_enabled=True, epochs=6, on_device=True)
+        plain_eps = device["edges_per_s"]
         log(f"[bench] device: {device['edges_per_s']:.0f} edges/s, "
             f"epoch {device['epoch_time_s']:.2f}s, "
             f"acc {device['final_acc']:.3f}")
 
     if "paired" in phases:
-        # paired adjacency draws: one 8B gather fetches both fanout-2
-        # neighbors (uniform marginals, correlated pair — see SamplerConfig)
+        # paired row-gather draws: one 32 B aligned row gather serves all
+        # fanout slots of a vertex (uniform marginals, window-correlated
+        # slots — see sampling/device_sampler.sample_hop)
         log("[bench] on-device path, paired draws...")
         dp_ = run(ds, cache_enabled=True, epochs=6, on_device=True,
                   paired=True)
+        paired_eps = dp_["edges_per_s"]
         log(f"[bench] device paired: {dp_['edges_per_s']:.0f} edges/s, "
             f"epoch {dp_['epoch_time_s']:.2f}s, acc {dp_['final_acc']:.3f}")
         if device and dp_["edges_per_s"] > device["edges_per_s"]:
@@ -246,6 +250,10 @@ def main():
             device = d16
 
     result = build_result(base, partial, full, device)
+    if plain_eps is not None:
+        result["detail"]["device_plain_edges_per_s"] = round(plain_eps, 1)
+    if paired_eps is not None:
+        result["detail"]["device_paired_edges_per_s"] = round(paired_eps, 1)
     _best_result = result
     print(json.dumps(result), flush=True)
 

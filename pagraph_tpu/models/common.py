@@ -49,6 +49,9 @@ def dropout(x: jax.Array, rate: float, rng: Optional[jax.Array],
             train: bool) -> jax.Array:
     if not train or rate == 0.0 or rng is None:
         return x
+    if rate >= 1.0:
+        # degenerate config: keep nothing (and never divide by keep=0)
+        return jnp.zeros_like(x)
     keep = 1.0 - rate
     if _DROPOUT_BITS == 16:
         thresh = min(int(round(keep * 65536.0)), 65535)

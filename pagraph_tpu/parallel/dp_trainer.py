@@ -160,7 +160,8 @@ class DataParallelTrainer:
         parts = self.parts
         D = len(parts)
         max_n = max(p.num_nodes for p in parts)
-        max_e = max(p.graph.num_edges for p in parts)
+        # 8-aligned so the paired-draw row-gather path is available
+        max_e = -(-max(p.graph.num_edges for p in parts) // 8) * 8
         max_t = max(len(p.train_nids) for p in parts)
         if max_e >= np.iinfo(np.int32).max:
             raise ValueError("partition edge count overflows int32")
@@ -249,8 +250,9 @@ class DataParallelTrainer:
             raise ValueError("full-graph edge count overflows int32")
         D = self.mesh.devices.size
         put_rep = lambda x: place_replicated(np.asarray(x), self.mesh)
+        from ..sampling.device_sampler import pad_indices
         self._dev_indptr = put_rep(g.indptr.astype(np.int32))
-        self._dev_indices = put_rep(g.indices)
+        self._dev_indices = put_rep(pad_indices(g.indices))
         self._dev_train_nids = put_rep(
             np.asarray(self._full_train_nids, dtype=np.int32))
         self._dev_labels = put_rep(

@@ -51,8 +51,10 @@ class DeviceCSR:
     """
 
     indptr: jax.Array    # int32 [N+1]
-    indices: jax.Array   # int32 [E]
-    ptr_pairs: Optional[jax.Array] = None   # int32 [N, 2] (start, deg)
+    indices: jax.Array   # int32 [E] (8-aligned length when built by
+    #                      from_graph / pad_indices; zero-padded tail)
+    ptr_pairs: Optional[jax.Array] = None     # int32 [N, 2] (start, deg)
+    indices_rows: Optional[jax.Array] = None  # int32 [E/8, 8] row view
 
     @property
     def num_nodes(self) -> int:
@@ -65,6 +67,20 @@ class DeviceCSR:
             [self.indptr[:-1], self.indptr[1:] - self.indptr[:-1]], axis=1)
         return dataclasses.replace(self, ptr_pairs=pairs)
 
+    def with_rows(self) -> "DeviceCSR":
+        """Materialize the ``[E/8, 8]`` row table the paired-draw fast path
+        gathers from.  The reshape is a LAYOUT CHANGE on TPU — done here,
+        once, outside any scan (an in-scan reshape re-tiles the 64 MB table
+        every step: measured 14.7M -> 6.8M edges/s on the bench epoch).
+        No-op if ``indices`` is not 8-aligned (paired falls back to the
+        generic path then)."""
+        if (self.indices_rows is not None
+                or self.indices.shape[0] % _ROW_W != 0
+                or self.indices.shape[0] == 0):
+            return self
+        rows = self.indices.reshape(-1, _ROW_W)
+        return dataclasses.replace(self, indices_rows=rows)
+
     @classmethod
     def from_graph(cls, graph: CSRGraph,
                    device: Optional[jax.Device] = None) -> "DeviceCSR":
@@ -75,7 +91,7 @@ class DeviceCSR:
             )
         indptr32 = graph.indptr.astype(np.int32)
         indptr = jnp.asarray(indptr32)
-        indices = jnp.asarray(graph.indices)        # already int32
+        indices = jnp.asarray(pad_indices(graph.indices))
         pairs = jnp.asarray(
             np.stack([indptr32[:-1], np.diff(indptr32)], axis=1))
         if device is not None:
@@ -88,7 +104,27 @@ class DeviceCSR:
         n = 4 * (int(self.indptr.shape[0]) + int(self.indices.shape[0]))
         if self.ptr_pairs is not None:
             n += 4 * self.ptr_pairs.size
+        if self.indices_rows is not None:
+            n += 4 * self.indices_rows.size
         return n
+
+
+_ROW_W = 8     # aligned-window width (32 B rows) for the paired-draw gather
+
+
+def pad_indices(indices: np.ndarray) -> np.ndarray:
+    """Zero-pad a CSR ``indices`` vector to a multiple of ``_ROW_W``.
+
+    The paired-draw fast path in :func:`sample_hop` serves up to 8 fanout
+    slots from ONE 32-byte row gather of ``indices.reshape(-1, 8)`` — that
+    reshape (and nothing else) needs the length 8-aligned.  Sampled
+    positions are always ``< deg``, so the zero padding is never selected.
+    """
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    pad = (-indices.shape[0]) % _ROW_W
+    if pad:
+        indices = np.concatenate([indices, np.zeros(pad, np.int32)])
+    return indices
 
 
 def _vertex_ptrs(
@@ -134,58 +170,66 @@ def sample_hop(
 
     Returns ``(nbr int32 [n, fanout], mask bool [n, fanout])``; masked slots
     hold vertex 0 (excluded from aggregation by the mask).  Mirrors the host
-    sampler's ``_sample_fanout`` policy exactly — except with
-    ``paired=True``, the low-transaction window path: ONE random 8-aligned
-    window of the adjacency list (a 32-byte ``dynamic_slice``) serves up to
-    8 fanout slots, so a fanout-5 hop costs one index gather per vertex
-    instead of five (the sampler is HBM-transaction-bound, CLAUDE.md
-    "Gather ceiling"; this generalizes the earlier aligned-PAIR draws —
-    at fanout 2 it draws bit-identical neighbors).  Slot ``j`` takes window
-    element ``(o&7)^j`` where ``o`` is the vertex's uniform draw; XOR is an
-    involution on the window, so when the candidate falls beyond ``deg`` the
-    fallback to element ``o`` itself EXACTLY restores the missing mass —
-    per-slot marginals are exactly uniform over [0, deg) for every degree.
-    Slots within one window are correlated (sampled without replacement
-    from one aligned window; distinct windows stay independent), consistent
-    with with-replacement semantics the way the pair scheme was.  Take-all
-    vertices (deg <= fanout) return exactly the generic path's result.
+    sampler's ``_sample_fanout`` policy — except with ``paired=True``, the
+    low-transaction ROW-GATHER path: the adjacency list is viewed as
+    ``[E/8, 8]`` rows and each vertex draw fetches ONE absolute-aligned
+    32-byte row (``jnp.take`` along axis 0 — XLA's fast row-gather form)
+    that serves up to 8 fanout slots, so a fanout-5 hop costs one gather
+    transaction per vertex instead of five (the sampler is HBM-transaction-
+    bound, CLAUDE.md "Gather ceiling").  Measured on v5e 2026-08-19:
+    170 us vs 490 us generic at n=18000/fanout=2; 209 vs 440 us at
+    n=6144/fanout=5; the earlier ``vmap(dynamic_slice)`` window fetch was
+    ~40x slower than this (20.9 ms) and the round-1 2-wide pair scheme
+    measured 818 us — row gather is the only fast window fetch form.
+
+    Distribution: let ``g = start + o`` with ``o`` uniform on [0, deg).
+    Slot ``j`` takes absolute element ``cand = (g & ~7) | ((g & 7) ^ j)``
+    if ``cand`` lies inside the vertex's list, else ``g`` itself.  For each
+    slot the candidate map is an involution on absolute positions, so the
+    fallback EXACTLY restores the mass of out-of-range candidates —
+    per-slot marginals are exactly uniform over the neighbor list for every
+    degree.  Slots served by one row are correlated (near-without-
+    replacement within the aligned window); distinct windows (fanout > 8)
+    use independent draws.  Unlike the generic path, ``deg <= fanout``
+    vertices get uniform WITH-replacement draws rather than take-all (the
+    valid-slot count, ``mask`` = ``k < deg``, is unchanged) — an estimator
+    variance tradeoff documented here and opt-in via
+    ``sampler.paired_draws``.
     """
     n = dst.shape[0]
     starts, deg = ptrs if ptrs is not None else _vertex_ptrs(csr, dst)
     safe = jnp.maximum(deg, 1)
 
-    W = 8
-    if paired and fanout >= 2 and csr.indices.shape[0] >= W:
-        # ceil(fanout/8) independent aligned windows; take-all pins window
-        # w's draw to base 8w, reproducing the generic path's valid slots
-        # exactly (masked slots are zeroed either way).  Graphs with < 8
-        # edges fall through to the generic path (dynamic_slice needs W).
+    W = _ROW_W
+    e = csr.indices.shape[0]
+    if paired and fanout >= 2 and e >= W and e % W == 0:
+        # (length not 8-aligned -> generic path; DeviceCSR.from_graph and
+        # the dp/ici trainers pad via pad_indices so this is always taken)
+        nrows = e // W
+        rows = (csr.indices_rows if csr.indices_rows is not None
+                else csr.indices.reshape(nrows, W))
         nwin = -(-fanout // W)
-        e = csr.indices.shape[0]
-        small = deg[:, None] <= fanout
         draws = jax.random.randint(key, (n, nwin), 0, jnp.int32(2**31 - 1),
                                    dtype=jnp.int32)
-        o = draws % safe[:, None]                           # [n, nwin]
-        wbase = (W * jnp.arange(nwin, dtype=jnp.int32))[None, :]
-        o = jnp.where(small, wbase, o)
-        cs = jnp.clip(starts[:, None] + (o & ~(W - 1)), 0, e - W)
-        win = jax.vmap(
-            lambda i: jax.lax.dynamic_slice(csr.indices, (i,), (W,))
-        )(cs.ravel()).reshape(n, nwin, W)
+        o = draws % safe[:, None]                # [n, nwin] offset in list
+        g = starts[:, None] + o                  # absolute element index
+        # deg==0 tail vertices have g == e; clamp the row (slot is masked)
+        row = jnp.minimum(g >> 3, nrows - 1)
+        win = jnp.take(rows, row, axis=0)        # [n, nwin, W]: 1 txn each
         j = np.arange(fanout)
         wj, jj = j // W, jnp.asarray(j % W, dtype=jnp.int32)
-        ow = o[:, wj]                                       # [n, fanout]
-        cand = (ow & ~(W - 1)) | ((ow & (W - 1)) ^ jj[None, :])
-        pos = jnp.where(cand < deg[:, None], cand, ow)
-        # lane of element pos inside its fetched window; for deg==0 rows
-        # this can land outside [0, W) — the one-hot select then yields 0,
-        # and the slot is masked anyway
-        lane = (starts[:, None] + pos) - cs[:, wj]
+        gw = g[:, wj]                            # [n, fanout]
+        cand = (gw & ~(W - 1)) | ((gw & (W - 1)) ^ jj[None, :])
+        pos = cand - starts[:, None]
+        okc = jnp.logical_and(pos >= 0, pos < deg[:, None])
+        chosen = jnp.where(okc, cand, gw)
+        lane = chosen & (W - 1)                  # same row as g by constr.
         lanes = jnp.arange(W, dtype=jnp.int32)
         nbr = jnp.sum(
             jnp.where(lane[..., None] == lanes, win[:, wj, :], 0), axis=-1)
         k = jnp.arange(fanout, dtype=jnp.int32)[None, :]
-        mask = jnp.where(small, k < deg[:, None], (deg > 0)[:, None])
+        mask = jnp.where(deg[:, None] <= fanout, k < deg[:, None],
+                         (deg > 0)[:, None])
         mask = jnp.logical_and(mask, dst_mask[:, None])
         return jnp.where(mask, nbr, 0), mask
 

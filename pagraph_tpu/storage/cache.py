@@ -156,11 +156,14 @@ class FeatureCache:
         return np.argsort(-score, kind="stable")
 
     def auto_capacity(self, reserve_bytes: int = 1 << 30) -> int:
-        """Vertices that fit in free HBM (reference: storage.py:77-88)."""
+        """Vertices that fit in free HBM (reference: storage.py:77-88).
+
+        Uses the cache's OWN row dtype: the bf16 tier's whole point is that
+        2-byte rows cache twice the vertices in the same budget."""
         from ..utils.platform import free_hbm_bytes
 
         free = free_hbm_bytes(self.device, reserve=reserve_bytes)
-        return int(free // (self.total_dim * 4))
+        return int(free // (self.padded_dim * self.np_dtype.itemsize))
 
     def fill(self, capacity: Optional[int] = None, rank_by: str = "out_degree") -> None:
         """Size and populate the cache (reference ``auto_cache``,

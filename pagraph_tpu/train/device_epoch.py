@@ -67,6 +67,8 @@ def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         # the metrics accumulator is CREATED here: a host-made buffer would
         # ride the tunnel H2D and stall the dispatch ~250ms on this machine
         metrics_acc = jnp.zeros(5, dtype=jnp.float32)
+        if paired:
+            csr = csr.with_rows()   # once per dispatch, OUTSIDE the scan
         n_train = train_nids.shape[0]
         num_batches = -(-n_train // B)
         total = num_batches * B
@@ -169,6 +171,8 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         train_nids, train_count = train_nids[0], train_count[0]
         labels, cache_values = labels[0], cache_values[0]
         csr = DeviceCSR(indptr=indptr[0], indices=indices[0]).with_pairs()
+        if paired:
+            csr = csr.with_rows()   # once per dispatch, OUTSIDE the scan
         rank = jax.lax.axis_index(axis)
         key = jax.random.fold_in(epoch_key, rank)
         perm_key, sample_key = jax.random.split(key)
@@ -302,6 +306,8 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                          feat_shard: jax.Array):
         metrics_acc = jnp.zeros(6, dtype=jnp.float32)
         csr = DeviceCSR(indptr=indptr, indices=indices).with_pairs()
+        if paired:
+            csr = csr.with_rows()   # once per dispatch, OUTSIDE the scan
         feat_shard = feat_shard[0]            # [shard_rows, dim] my slice
         rank = jax.lax.axis_index(axis)
         # SHARED permutation (same replicated key on every chip): chip r
@@ -435,6 +441,8 @@ def make_dp_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         aggs = tuple(a[0] for a in aggs)
         edge_src, edge_dst, inv_deg = edge_src[0], edge_dst[0], inv_deg[0]
         csr = DeviceCSR(indptr=indptr[0], indices=indices[0]).with_pairs()
+        if paired:
+            csr = csr.with_rows()   # once per dispatch, OUTSIDE the scan
         rank = jax.lax.axis_index(axis)
         key = jax.random.fold_in(epoch_key, rank)
         perm_key, sample_key = jax.random.split(key)
@@ -575,6 +583,8 @@ def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                  cache_values: jax.Array, edge_src: jax.Array,
                  edge_dst: jax.Array, inv_deg: jax.Array):
         metrics_acc = jnp.zeros(5, dtype=jnp.float32)
+        if paired:
+            csr = csr.with_rows()   # once per dispatch, OUTSIDE the scan
         n_train = train_nids.shape[0]
         num_batches = -(-n_train // B)
         total = num_batches * B

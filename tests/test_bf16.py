@@ -83,3 +83,22 @@ def test_bf16_compute_dtype_trains(learn_ds, on_device):
 def test_bad_compute_dtype_rejected():
     with pytest.raises(ValueError):
         pg.Config(train=pg.TrainConfig(dtype="float16"))
+
+
+def test_bf16_auto_capacity_doubles(learn_ds, monkeypatch):
+    """auto_capacity must budget with the cache row's OWN itemsize: a bf16
+    cache fits 2x the vertices of an f32 one in the same free HBM
+    (VERDICT r1: dividing by total_dim*4 silently halved the bf16 tier)."""
+    from pagraph_tpu.storage.cache import FeatureCache
+    from pagraph_tpu.storage.feature_store import FeatureStore
+    from pagraph_tpu.utils import platform
+
+    monkeypatch.setattr(platform, "free_hbm_bytes",
+                        lambda device=None, reserve=0: 1_000_000)
+    store = FeatureStore.build(learn_ds.graph, learn_ds.features)
+    caps = {}
+    for dtype in ("float32", "bfloat16"):
+        cache = FeatureCache(store, ["features"], learn_ds.graph, dtype=dtype)
+        caps[dtype] = cache.auto_capacity(reserve_bytes=0)
+    assert caps["bfloat16"] in (2 * caps["float32"],
+                                2 * caps["float32"] + 1), caps
