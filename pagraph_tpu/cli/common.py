@@ -146,11 +146,14 @@ def add_multihost_flags(p: argparse.ArgumentParser) -> None:
                         "jax.distributed")
     p.add_argument("--num-processes", type=int, default=1)
     p.add_argument("--process-id", type=int, default=0)
-    p.add_argument("--feature-source", choices=["cache", "ici"],
+    p.add_argument("--feature-source", choices=["cache", "ici", "edge"],
                    default="cache",
                    help="multi-chip feature placement: per-chip HBM cache "
-                        "of its partition, or the full matrix disjointly "
-                        "sharded over the mesh with all_to_all halo fetch")
+                        "of its partition; the full matrix disjointly "
+                        "sharded over the mesh with all_to_all halo fetch "
+                        "(ici, full CSR replicated); or edge = partition "
+                        "CSR per chip + sharded features (E/P + N*dim/P "
+                        "per-chip HBM, needs --on-device-sampling)")
 
 
 def setup_platform(warm_bytes: int = 1 << 30,

@@ -91,8 +91,14 @@ class DataParallelTrainer:
                 "paths (train.on_device_sampling=True); the per-batch host "
                 "pipeline is a single-controller mode"
             )
+        if feature_source == "edge" and not self._device_mode:
+            raise NotImplementedError(
+                "feature_source='edge' (partition CSR + ICI-sharded "
+                "features) is an on-device mode: set "
+                "train.on_device_sampling=True"
+            )
         if cfg.model.arch == "gcn_cv" and (not self._device_mode
-                                           or feature_source == "ici"):
+                                           or feature_source in ("ici", "edge")):
             raise NotImplementedError(
                 "multi-chip gcn_cv needs device-resident per-partition "
                 "histories: set train.on_device_sampling=True with "
@@ -122,8 +128,8 @@ class DataParallelTrainer:
                 self.caps = tuple(int(c) for c in probed.max(axis=0))
                 for s in self.samplers:
                     s.set_caps(self.caps)
-        pad_dim = (128 if self._device_mode and feature_source != "ici"
-                   else 1)
+        pad_dim = (128 if self._device_mode
+                   and feature_source not in ("ici", "edge") else 1)
         self.caches = [
             FeatureCache(store, field_names, p.graph, p.local2full,
                          dtype=cfg.cache.dtype, pad_dim_to=pad_dim)
@@ -136,6 +142,8 @@ class DataParallelTrainer:
         offsets = self.caches[0].field_offsets
         if self._device_mode and feature_source == "ici":
             self._init_ici_device_mode(offsets, seed, field_names)
+        elif self._device_mode and feature_source == "edge":
+            self._init_edge_device_mode(offsets, seed, field_names)
         elif self._device_mode:
             self._init_device_mode(offsets, seed)
         elif feature_source == "ici":
@@ -150,13 +158,10 @@ class DataParallelTrainer:
         self.timers = PhaseTimers()
         self.epoch_metrics: List[EpochMetrics] = []
 
-    def _init_device_mode(self, offsets, seed) -> None:
-        """Stack per-partition CSR/train-ids/labels on the dp axis and build
-        the whole-epoch on-device step (train/device_epoch.py).  Each chip
-        samples its own partition in HBM; nothing crosses the host link
-        inside an epoch."""
-        from ..train.device_epoch import make_dp_device_epoch_fn
-
+    def _stack_partition_structure(self):
+        """Stack per-partition CSR/train-ids/labels on the dp axis (shared
+        by the dp-cache and edge device modes).  Returns (max_n, max_e,
+        put) and sets the ``_dev_*`` structure buffers."""
         parts = self.parts
         D = len(parts)
         max_n = max(p.num_nodes for p in parts)
@@ -187,6 +192,16 @@ class DataParallelTrainer:
         self._dev_labels = put(labels)
         B = self.cfg.sampler.batch_size
         self._dev_num_batches = int(max(-(-c // B) for c in counts))
+        return max_n, max_e, put
+
+    def _init_device_mode(self, offsets, seed) -> None:
+        """Stack per-partition CSR/train-ids/labels on the dp axis and build
+        the whole-epoch on-device step (train/device_epoch.py).  Each chip
+        samples its own partition in HBM; nothing crosses the host link
+        inside an epoch."""
+        from ..train.device_epoch import make_dp_device_epoch_fn
+
+        max_n, max_e, put = self._stack_partition_structure()
         self._is_cv = self.cfg.model.arch == "gcn_cv"
         if self._is_cv:
             self._init_dp_cv(offsets, max_n, max_e, put)
@@ -195,6 +210,39 @@ class DataParallelTrainer:
                 self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches
             )
         self._set_epoch_key(seed)
+
+    def _init_edge_device_mode(self, offsets, seed, field_names) -> None:
+        """EDGE-PARTITIONED mode (BASELINE configs #4/#5): per-chip
+        partition CSR (E/P structure) + cyclically ICI-sharded features
+        (N*dim/P rows), layer-0 rows fetched from owner chips inside the
+        one-dispatch epoch (train/device_epoch.make_edge_device_epoch_fn).
+        Memory accounting is logged so per-chip HBM is auditable."""
+        from ..train.device_epoch import make_edge_device_epoch_fn
+
+        max_n, max_e, put = self._stack_partition_structure()
+        D = len(self.parts)
+        l2f = np.zeros((D, max_n), dtype=np.int32)
+        for r, p in enumerate(self.parts):
+            if p.local2full.max(initial=0) >= np.iinfo(np.int32).max:
+                raise ValueError("full vertex id overflows int32")
+            l2f[r, : len(p.local2full)] = p.local2full
+        self._dev_local2full = put(l2f)
+        n, total_dim, stack_shape = self._shard_full_features(field_names)
+        self.epoch_fn = make_edge_device_epoch_fn(
+            self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches,
+            self._shard_rows, self._halo_width,
+        )
+        self._set_epoch_key(seed)
+        self.halo_drops = 0
+        if self.log:
+            struct_mb = (self._dev_indptr.nbytes
+                         + self._dev_indices.nbytes) / D / 1e6
+            feat_mb = np.prod(stack_shape[1:]) * (
+                2 if self.cfg.cache.dtype == "bfloat16" else 4) / 1e6
+            print(f"[edge-device] per-chip structure {struct_mb:.1f} MB "
+                  f"(max_e={max_e}), features {n} x {total_dim} sharded "
+                  f"{stack_shape} ({feat_mb:.1f} MB/chip), halo width "
+                  f"{self._halo_width}, {self._dev_num_batches} steps/chip")
 
     def _init_dp_cv(self, offsets, max_n: int, max_e: int, put) -> None:
         """Per-chip control-variate state: history/agg-history arrays over
@@ -239,24 +287,14 @@ class DataParallelTrainer:
         # process derives the identical value); see multihost.host_fold_key
         self._epoch_key_host = np.asarray(self._epoch_key)
 
-    def _init_ici_device_mode(self, offsets, seed, field_names) -> None:
-        """Full-graph CSR replicated per chip, features ICI-sharded; the
-        whole epoch (sampling + halo exchange + train) is one dispatch."""
-        from ..train.device_epoch import make_ici_device_epoch_fn
+    def _shard_full_features(self, field_names):
+        """Shard the full fused feature matrix cyclically across the mesh
+        (halo.shard_features layout) and size the static halo width.
+        Sets ``_feat_shards``/``_shard_rows``/``_halo_width``; returns
+        (num_nodes, total_dim, stack_shape)."""
         from .halo import halo_width_for, shard_features
 
-        g = self._full_graph
-        if g.num_edges >= np.iinfo(np.int32).max:
-            raise ValueError("full-graph edge count overflows int32")
         D = self.mesh.devices.size
-        put_rep = lambda x: place_replicated(np.asarray(x), self.mesh)
-        from ..sampling.device_sampler import pad_indices
-        self._dev_indptr = put_rep(g.indptr.astype(np.int32))
-        self._dev_indices = put_rep(pad_indices(g.indices))
-        self._dev_train_nids = put_rep(
-            np.asarray(self._full_train_nids, dtype=np.int32))
-        self._dev_labels = put_rep(
-            np.asarray(self._full_labels, dtype=np.int32))
         n = self.store.num_nodes
         total_dim = self.caches[0].total_dim
         dim = total_dim + (-total_dim) % 128   # lane-align the exchange rows
@@ -267,16 +305,15 @@ class DataParallelTrainer:
             fdtype = np.float32
         if self._mp:
             # host-DRAM tier at multi-host scale: each process gathers ONLY
-            # the feature rows its chips own (owner(v) = v // shard_rows,
-            # matching halo.shard_features)
+            # the feature rows its chips own (cyclic: owner(v) = v % P,
+            # slot v // P, matching halo.shard_features)
             self._shard_rows = shard_rows = -(-n // D)
 
             def feat_row(r: int) -> np.ndarray:
-                lo, hi = r * shard_rows, min(n, (r + 1) * shard_rows)
-                f = self.store.gather(
-                    field_names, np.arange(lo, hi, dtype=np.int64))
+                mine = np.arange(r, n, D, dtype=np.int64)
+                f = self.store.gather(field_names, mine)
                 out = np.zeros((shard_rows, dim), dtype=fdtype)
-                out[: hi - lo, : f.shape[1]] = f
+                out[: len(mine), : f.shape[1]] = f
                 return out
 
             self._feat_shards = place_dp(
@@ -290,12 +327,32 @@ class DataParallelTrainer:
             stack, self._shard_rows = shard_features(fused, D)
             self._feat_shards = jax.device_put(stack, self._dp)
             stack_shape = stack.shape
-        B = self.cfg.sampler.batch_size
-        cap0 = B
+        cap0 = self.cfg.sampler.batch_size
         for f in self.cfg.sampler.hop_fanouts():
             cap0 *= f + 1
         self._halo_width = halo_width_for(cap0, D)
+        return n, total_dim, stack_shape
+
+    def _init_ici_device_mode(self, offsets, seed, field_names) -> None:
+        """Full-graph CSR replicated per chip, features ICI-sharded; the
+        whole epoch (sampling + halo exchange + train) is one dispatch."""
+        from ..train.device_epoch import make_ici_device_epoch_fn
+
+        g = self._full_graph
+        if g.num_edges >= np.iinfo(np.int32).max:
+            raise ValueError("full-graph edge count overflows int32")
+        put_rep = lambda x: place_replicated(np.asarray(x), self.mesh)
+        from ..sampling.device_sampler import pad_indices
+        self._dev_indptr = put_rep(g.indptr.astype(np.int32))
+        self._dev_indices = put_rep(pad_indices(g.indices))
+        self._dev_train_nids = put_rep(
+            np.asarray(self._full_train_nids, dtype=np.int32))
+        self._dev_labels = put_rep(
+            np.asarray(self._full_labels, dtype=np.int32))
+        n, total_dim, stack_shape = self._shard_full_features(field_names)
+        B = self.cfg.sampler.batch_size
         n_train = len(self._full_train_nids)
+        D = self.mesh.devices.size
         self._dev_num_batches = max(1, -(-n_train // (D * B)))
         self.epoch_fn = make_ici_device_epoch_fn(
             self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches,
@@ -562,7 +619,8 @@ class DataParallelTrainer:
 
     def _dispatch_device_epoch(self, epoch: int):
         ici = self.feature_source == "ici"
-        if not ici and self._cache_stacked is None:
+        if (self.feature_source == "cache"
+                and self._cache_stacked is None):
             self._fill_caches_device()
         key = (host_fold_key(self._epoch_key_host, epoch) if self._mp
                else jax.random.fold_in(self._epoch_key, epoch))
@@ -581,6 +639,12 @@ class DataParallelTrainer:
                 self._dev_labels, self._dev_indptr, self._dev_indices,
                 self._feat_shards,
             )
+        elif self.feature_source == "edge":
+            self.state, acc = self.epoch_fn(
+                self.state, key, self._dev_train_nids, self._dev_counts,
+                self._dev_labels, self._dev_indptr, self._dev_indices,
+                self._dev_local2full, self._feat_shards,
+            )
         else:
             self.state, acc = self.epoch_fn(
                 self.state, key, self._dev_train_nids,
@@ -590,7 +654,7 @@ class DataParallelTrainer:
         return acc
 
     def _device_epoch_metrics(self, epoch, vals, time_s) -> EpochMetrics:
-        if self.feature_source == "ici":
+        if self.feature_source in ("ici", "edge"):
             self.halo_drops += int(vals[5])
         steps = max(int(vals[2]), 1)
         em = EpochMetrics(

@@ -35,13 +35,23 @@ from ..storage.cache import bucket_size
 
 def shard_features(features: np.ndarray, num_shards: int
                    ) -> Tuple[np.ndarray, int]:
-    """Disjoint contiguous-block sharding: owner(v) = v // shard_rows.
-    Returns (stacked [P, shard_rows, D], shard_rows), zero-padded tail."""
+    """Disjoint CYCLIC sharding: ``owner(v) = v % P``, ``slot(v) = v // P``.
+    Returns (stacked [P, shard_rows, D], shard_rows), zero-padded tail.
+
+    Cyclic (round-robin) beats contiguous blocks on power-law graphs: hub
+    vertices cluster in low ids (RMAT, degree-ordered relabelings), so
+    ``v // shard_rows`` ownership lets one chip own most of a batch's
+    layer-0 and overflow the static halo width (VERDICT r1: silent feature
+    zeroing under skew).  ``v % P`` spreads consecutive — and therefore
+    hub — ids across all chips at zero runtime cost."""
     n, d = features.shape
     shard_rows = -(-n // num_shards)
     padded = np.zeros((num_shards * shard_rows, d), dtype=features.dtype)
     padded[:n] = features
-    return padded.reshape(num_shards, shard_rows, d), shard_rows
+    # chip r, slot j  <-  vertex j*P + r
+    return (np.ascontiguousarray(
+        padded.reshape(shard_rows, num_shards, d).transpose(1, 0, 2)),
+        shard_rows)
 
 
 @jax.tree_util.register_dataclass
@@ -67,8 +77,8 @@ class HaloPlanner:
         P, H = self.num_shards, self.halo_width
         nids = np.asarray(full_nids, dtype=np.int64)
         cap0 = len(nids)
-        owner = (nids // self.shard_rows).astype(np.int32)
-        offset = (nids % self.shard_rows).astype(np.int32)
+        owner = (nids % P).astype(np.int32)          # cyclic (see
+        offset = (nids // P).astype(np.int32)        # shard_features)
         owner = np.where(mask, owner, 0)
         req = np.zeros((P, H), dtype=np.int32)
         slot = np.zeros(cap0, dtype=np.int32)
@@ -102,8 +112,10 @@ def device_halo_plan(nids: jax.Array, mask: jax.Array, shard_rows: int,
     Requests beyond ``halo_width`` per owner are dropped (masked to zero
     features — same accounting as the host planner)."""
     P, H = num_shards, halo_width
-    owner = jnp.where(mask, nids // shard_rows, P).astype(jnp.int32)
-    offset = (nids % shard_rows).astype(jnp.int32)
+    # cyclic ownership (see shard_features); shard_rows kept in the
+    # signature for the memory-accounting callers
+    owner = jnp.where(mask, nids % P, P).astype(jnp.int32)
+    offset = (nids // P).astype(jnp.int32)
     onehot = owner[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :]
     rank = (jnp.cumsum(onehot, axis=0) - 1)            # [cap0, P]
     rank = jnp.where(onehot, rank, 0).sum(axis=1).astype(jnp.int32)

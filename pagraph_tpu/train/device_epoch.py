@@ -398,6 +398,149 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     return jax.jit(epoch, donate_argnames=("state",))
 
 
+def make_edge_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
+                              mesh, field_offsets: dict, num_batches: int,
+                              shard_rows: int, halo_width: int,
+                              axis: str = "dp") -> Callable:
+    """EDGE-PARTITIONED on-device training: per-chip partition CSR +
+    ICI-sharded features — the memory-scalable composition of
+    :func:`make_dp_device_epoch_fn` (each chip samples ITS self-reliant
+    dg/hash partition, the reference's data layout,
+    /root/reference/PaGraph/partition/dg.py:59-103 generalized) and
+    :func:`make_ici_device_epoch_fn` (features sharded disjointly across
+    the mesh, layer-0 rows fetched from owner chips with the two-
+    ``all_to_all`` halo exchange).  Per-chip HBM drops to ~E/P structure +
+    N*dim/P features — the only route to BASELINE configs #4/#5 — and
+    still nothing crosses the host link inside an epoch.
+
+    The partition CSR is in LOCAL vertex ids; ``local2full`` [D, max_n]
+    maps each chip's layer-0 ids to full-graph ids for the (cyclic,
+    ``owner(v) = v % P``) feature exchange.  Metrics acc float32[6]
+    (5 usual + halo drops), lockstep ``num_batches`` with wrap-around
+    make-up batches like the dp mode.
+
+    Signature (stacked [D, ...] args sharded over ``axis``; ``state`` and
+    ``epoch_key`` replicated)::
+
+        epoch_fn(state, epoch_key, train_nids, train_counts, labels,
+                 indptr, indices, local2full, feat_shards) -> (state, acc)
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from ..parallel.halo import device_halo_plan, exchange_features
+
+    _, apply_fn = get_model(cfg.model)
+    apply_fn = cast_apply(apply_fn, compute_dtype(cfg))
+    sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
+    feat_slice = field_offsets["features"]
+    neigh_slice = field_offsets.get("neigh")
+    B = cfg.sampler.batch_size
+    hops = cfg.sampler.num_hops
+    fanout = cfg.sampler.hop_fanouts()
+    paired = cfg.sampler.paired_draws
+    D = mesh.devices.size
+    if not cfg.sampler.include_self:
+        raise ValueError("on-device sampling requires include_self=True")
+
+    def per_device_epoch(state: TrainState, epoch_key: jax.Array,
+                         train_nids: jax.Array, train_count: jax.Array,
+                         labels: jax.Array, indptr: jax.Array,
+                         indices: jax.Array, local2full: jax.Array,
+                         feat_shard: jax.Array):
+        metrics_acc = jnp.zeros(6, dtype=jnp.float32)
+        train_nids, train_count = train_nids[0], train_count[0]
+        labels, local2full = labels[0], local2full[0]
+        feat_shard = feat_shard[0]
+        csr = DeviceCSR(indptr=indptr[0], indices=indices[0]).with_pairs()
+        if paired:
+            csr = csr.with_rows()   # once per dispatch, OUTSIDE the scan
+        rank = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(epoch_key, rank)
+        perm_key, sample_key = jax.random.split(key)
+        max_train = train_nids.shape[0]
+        u = jax.random.uniform(perm_key, (max_train,))
+        u = jnp.where(jnp.arange(max_train) < train_count, u, jnp.inf)
+        perm = jnp.argsort(u)
+        idx = jnp.arange(num_batches * B, dtype=jnp.int32)
+        wrapped = jnp.take(perm, idx % jnp.maximum(train_count, 1))
+        seeds_all = jnp.take(train_nids, wrapped).reshape(num_batches, B)
+        seed_mask_all = jnp.broadcast_to(
+            train_count > 0, (num_batches * B,)
+        ).reshape(num_batches, B)
+        step_keys = jax.random.split(sample_key, num_batches)
+
+        def one(carry, xs):
+            state, acc = carry
+            seeds, smask, skey = xs
+            mb = sample_minibatch_device(
+                csr, seeds, smask, hops, fanout, skey, labels=labels,
+                paired=paired,
+            )
+            rng, sub = jax.random.split(state.rng)
+            sub = jax.random.fold_in(sub, rank)
+            # local layer-0 ids -> full-graph ids -> owner-chip fetch
+            full_ids = jnp.take(local2full, mb.input_nids)
+            plan = device_halo_plan(full_ids, mb.input_mask,
+                                    shard_rows, D, halo_width)
+            fused = exchange_features(feat_shard, plan, axis
+                                      ).astype(jnp.float32)
+            feats = fused[:, feat_slice]
+            drops = (jnp.logical_and(mb.input_mask, ~plan.valid)
+                     ).sum().astype(jnp.float32)
+
+            def loss_fn(params):
+                kwargs = dict(train=True, dropout_rng=sub)
+                if sage_pre:
+                    kwargs["neigh_feats"] = fused[:, neigh_slice]
+                logits = apply_fn(params, cfg.model, mb, feats, **kwargs)
+                loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
+                return loss, logits
+
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            grads = jax.lax.pmean(grads, axis)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            acc_v = masked_accuracy(logits, mb.labels, mb.seed_mask)
+            edges = sum(b.neigh_mask.sum() for b in mb.blocks)
+            verts = sum(m.sum() for m in mb.layer_mask)
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   step=state.step + 1, rng=rng)
+            new_acc = acc + jnp.stack([
+                jax.lax.pmean(loss, axis),
+                jax.lax.pmean(acc_v, axis),
+                jnp.ones((), loss.dtype),
+                jax.lax.psum(edges.astype(jnp.float32), axis),
+                jax.lax.psum(verts.astype(jnp.float32), axis),
+                jax.lax.psum(drops, axis),
+            ])
+            return (new_state, new_acc), None
+
+        (state, metrics_acc), _ = jax.lax.scan(
+            one, (state, metrics_acc),
+            (seeds_all, seed_mask_all, step_keys),
+            unroll=cfg.train.scan_unroll,
+        )
+        return state, metrics_acc
+
+    def epoch(state, epoch_key, train_nids, train_counts, labels, indptr,
+              indices, local2full, feat_shards):
+        fn = shard_map(
+            per_device_epoch,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(state, epoch_key, train_nids, train_counts,
+                  labels, indptr, indices, local2full, feat_shards)
+
+    return jax.jit(epoch, donate_argnames=("state",))
+
+
 def make_dp_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                                mesh, field_offsets: dict, num_batches: int,
                                max_nodes: int, axis: str = "dp") -> Callable:

@@ -51,3 +51,53 @@ def test_ici_loss_close_to_cache_mode(learn_ds):
         tr.train(2)
         runs.append([m.mean_loss for m in tr.epoch_metrics])
     np.testing.assert_allclose(runs[0], runs[1], rtol=1e-4)
+
+
+def _cfg_device(arch="graphsage"):
+    cfg = _cfg(arch)
+    cfg.train.on_device_sampling = True
+    return cfg
+
+
+def test_edge_mode_trains_and_matches_cache(learn_ds):
+    """EDGE-PARTITIONED on-device mode (partition CSR per chip + ICI-sharded
+    features) must produce the same trajectory as the dp+cache on-device
+    mode: identical partitions/seeds -> identical minibatches, and the halo
+    exchange must deliver the same feature rows the per-chip full cache
+    would have (VERDICT r1 #2)."""
+    mesh = make_mesh(4)
+    runs = {}
+    for src in ("cache", "edge"):
+        tr = DataParallelTrainer.from_dataset(
+            _cfg_device(), learn_ds, mesh=mesh, seed=0, feature_source=src,
+        )
+        tr.train(3)
+        runs[src] = [m.mean_loss for m in tr.epoch_metrics]
+        if src == "edge":
+            assert tr.halo_drops == 0
+            # memory accounting: features are sharded, not replicated
+            D = mesh.devices.size
+            assert tr._feat_shards.shape[0] == D
+            assert tr._feat_shards.shape[1] == -(-learn_ds.num_nodes // D)
+    np.testing.assert_allclose(runs["cache"], runs["edge"], rtol=1e-4)
+    assert runs["edge"][-1] < runs["edge"][0] * 0.9, runs
+
+
+def test_edge_mode_requires_on_device():
+    ds = synthetic_dataset(num_nodes=300, num_edges=2000, feat_dim=16,
+                           num_classes=4, seed=1)
+    with pytest.raises(NotImplementedError, match="on_device_sampling"):
+        DataParallelTrainer.from_dataset(
+            _cfg(), ds, mesh=make_mesh(4), seed=0, feature_source="edge",
+        )
+
+
+def test_edge_mode_paired_draws(learn_ds):
+    cfg = _cfg_device()
+    cfg.sampler.paired_draws = True
+    tr = DataParallelTrainer.from_dataset(
+        cfg, learn_ds, mesh=make_mesh(4), seed=0, feature_source="edge",
+    )
+    tr.train(3)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0] * 0.9, losses
