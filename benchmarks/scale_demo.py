@@ -39,7 +39,20 @@ def main():
     p.add_argument("--on-device", action="store_true",
                    help="in-HBM regime instead: whole-epoch on-device "
                         "training (use with --feat small enough to cache)")
+    p.add_argument("--multihost", action="store_true",
+                   help="spawn 2 controller processes x 2 virtual CPU "
+                        "devices: edge-partitioned mode (partition CSR per "
+                        "chip, features sharded across the mesh), each "
+                        "process's DRAM holding only ITS chips' feature "
+                        "rows via a memmap-backed store (config #5 shape)")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--coordinator", type=str, default=None)
+    p.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args()
+
+    if args.multihost:
+        return _multihost_parent(args)
 
     from pagraph_tpu.utils.platform import (
         enable_compilation_cache,
@@ -49,6 +62,17 @@ def main():
     t0 = time.time()
     tune_host_allocator(4 << 30)
     enable_compilation_cache()
+    if args.worker:
+        # virtual CPU devices + jax.distributed BEFORE any backend use
+        import os as _os
+        flags = _os.environ.get("XLA_FLAGS", "")
+        _os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=2").strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from pagraph_tpu.parallel.multihost import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
     if args.on_device:
         from pagraph_tpu.utils.platform import use_fast_prng
         use_fast_prng()
@@ -100,6 +124,9 @@ def main():
     log(f"[scale] graph ready in {time.time()-t0:.0f}s: {n:,} vertices, "
         f"{graph.num_edges:,} edges, features {feat_gb:.1f} GB")
 
+    if args.worker:
+        return _worker_edge_train(args, pg, ds, n, feat_gb)
+
     cfg = pg.Config(
         model=pg.ModelConfig(arch="graphsage", n_layers=1, hidden=16,
                              feat_dim=args.feat, n_classes=47),
@@ -132,6 +159,92 @@ def main():
         },
     }
     print(json.dumps(out), flush=True)
+
+
+def _worker_edge_train(args, pg, ds, n, feat_gb):
+    """One controller process of the multihost demo: edge-partitioned
+    on-device training (partition CSR per chip, features sharded across the
+    global mesh; this process's DRAM gathers only its chips' rows from the
+    memmap-backed store)."""
+    import jax
+
+    from pagraph_tpu.parallel import DataParallelTrainer, make_mesh
+
+    D = 2 * args.num_processes
+    cfg = pg.Config(
+        model=pg.ModelConfig(arch="graphsage", n_layers=1, hidden=16,
+                             feat_dim=args.feat, n_classes=47),
+        sampler=pg.SamplerConfig(batch_size=args.batch_size, fanout=2,
+                                 num_hops=2),
+        partition=pg.PartitionConfig(num_parts=D, method="hash", num_hops=2),
+        cache=pg.CacheConfig(dtype="bfloat16" if args.bf16 else "float32"),
+        train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
+                             on_device_sampling=True),
+    )
+    tr = DataParallelTrainer.from_dataset(
+        cfg, ds, mesh=make_mesh(D), seed=0,
+        log=args.process_id == 0, feature_source="edge")
+    tr.train(args.epochs)
+    if args.process_id != 0:
+        return
+    steady = tr.epoch_metrics[1:] or tr.epoch_metrics
+    eps = float(np.mean([m.edges / m.time_s for m in steady]))
+    itemsize = 2 if args.bf16 else 4
+    per_proc_rows = tr._shard_rows * 2            # 2 local devices
+    out = {
+        "metric": "edges_per_s_total",
+        "value": round(eps, 1),
+        "unit": "edges/s",
+        "detail": {
+            "workload": f"graphsage rmat{args.scale} edge-partitioned "
+                        f"({n:,} v, {ds.graph.num_edges:,} e, "
+                        f"feat {feat_gb:.1f}GB total, 2 procs x 2 devices)",
+            "epoch_time_s": round(
+                float(np.mean([m.time_s for m in steady])), 2),
+            "halo_drops": int(tr.halo_drops),
+            "feat_bytes_per_process": int(
+                per_proc_rows * tr._feat_shards.shape[-1] * itemsize),
+            "feat_bytes_total": int(ds.features.size * 4),
+            "final_loss": tr.epoch_metrics[-1].mean_loss,
+        },
+    }
+    print(json.dumps(out), flush=True)
+
+
+def _multihost_parent(args):
+    """Spawn the 2-process edge-partitioned demo and forward proc 0's JSON.
+    Generates + persists the dataset once so workers memmap it (each
+    process then faults in ONLY the feature pages its chips own)."""
+    import subprocess
+    import tempfile
+
+    cache_dir = os.path.expanduser(
+        f"~/.cache/pagraph_tpu_bench/scale{args.scale}_{args.feat}")
+    if not os.path.exists(os.path.join(cache_dir, "ok")):
+        log("[scale] generating + persisting dataset for memmap workers...")
+        env = dict(os.environ, PAGRAPH_SCALE_SAVE="1")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--scale", str(args.scale), "--feat", str(args.feat),
+             "--edge-factor", str(args.edge_factor), "--epochs", "1",
+             "--batch-size", str(args.batch_size)],
+            env=env, check=True, stdout=subprocess.DEVNULL)
+    from pagraph_tpu.parallel.multihost import spawn_local
+
+    with tempfile.TemporaryDirectory() as td:
+        outs = [os.path.join(td, f"p{i}.json") for i in range(2)]
+        codes = spawn_local(
+            [os.path.abspath(__file__), "--worker",
+             "--scale", str(args.scale), "--feat", str(args.feat),
+             "--edge-factor", str(args.edge_factor),
+             "--epochs", str(args.epochs),
+             "--batch-size", str(args.batch_size)]
+            + (["--bf16"] if args.bf16 else []),
+            2, timeout=1800, stdout_paths=outs)
+        if codes != [0, 0]:
+            raise SystemExit(f"worker exit codes {codes}")
+        line = open(outs[0]).read().strip().splitlines()[-1]
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -56,11 +56,11 @@ def _run_multi(tmp_path, extra, nprocs=2):
         return json.loads(f.read().strip().splitlines()[-1])
 
 
-@pytest.mark.parametrize("mode", ["cache", "ici"])
+@pytest.mark.parametrize("mode", ["cache", "ici", "edge"])
 def test_multiprocess_matches_single_process(tmp_path, mode):
     extra = ["--feature-source", mode]
-    if mode == "ici":
-        # ici needs lane-padded exchange; defaults are fine, keep it small
+    if mode in ("ici", "edge"):
+        # halo exchange modes: lane-padded rows; keep batches small
         extra += ["--batch-size", "64"]
     multi = _run_multi(tmp_path, extra)
     single = _run_single(tmp_path, extra)
