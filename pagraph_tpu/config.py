@@ -157,6 +157,15 @@ class TrainConfig:
                                       # reference's small batch shapes;
                                       # unrolling lets XLA overlap fusions
                                       # across adjacent steps)
+    halo_pipeline: bool = False       # edge mode: sample + halo-exchange
+                                      # batch i+1 inside batch i's scan step
+                                      # so the all_to_all is dataflow-
+                                      # independent of the fwd/bwd and XLA's
+                                      # latency-hiding scheduler can overlap
+                                      # ICI with compute (SURVEY §7 "halo
+                                      # overlap" hard part; trajectory is
+                                      # bit-identical to the unpipelined
+                                      # epoch)
     dtype: str = "float32"            # compute dtype for model fwd/bwd:
                                       # "bfloat16" casts params+activations
                                       # (double MXU matmul rate; master

@@ -419,6 +419,14 @@ def make_edge_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     (5 usual + halo drops), lockstep ``num_batches`` with wrap-around
     make-up batches like the dp mode.
 
+    With ``cfg.train.halo_pipeline`` the scan is software-pipelined one
+    batch deep: step i samples and halo-exchanges batch i+1 while running
+    batch i's fwd/bwd — the ``all_to_all`` becomes dataflow-independent of
+    the compute, so XLA's latency-hiding scheduler can overlap ICI with
+    MXU work (SURVEY §7 "all-to-all halo overlapped with local
+    aggregation").  The trajectory is identical to the unpipelined epoch
+    (same per-batch sample keys, same step order).
+
     Signature (stacked [D, ...] args sharded over ``axis``; ``state`` and
     ``epoch_key`` replicated)::
 
@@ -470,24 +478,26 @@ def make_edge_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         ).reshape(num_batches, B)
         step_keys = jax.random.split(sample_key, num_batches)
 
-        def one(carry, xs):
-            state, acc = carry
-            seeds, smask, skey = xs
+        def sample_and_fetch(seeds, smask, skey):
             mb = sample_minibatch_device(
                 csr, seeds, smask, hops, fanout, skey, labels=labels,
                 paired=paired,
             )
-            rng, sub = jax.random.split(state.rng)
-            sub = jax.random.fold_in(sub, rank)
             # local layer-0 ids -> full-graph ids -> owner-chip fetch
             full_ids = jnp.take(local2full, mb.input_nids)
             plan = device_halo_plan(full_ids, mb.input_mask,
                                     shard_rows, D, halo_width)
             fused = exchange_features(feat_shard, plan, axis
                                       ).astype(jnp.float32)
-            feats = fused[:, feat_slice]
             drops = (jnp.logical_and(mb.input_mask, ~plan.valid)
                      ).sum().astype(jnp.float32)
+            return mb, fused, drops
+
+        def train_one(state, acc, batch):
+            mb, fused, drops = batch
+            rng, sub = jax.random.split(state.rng)
+            sub = jax.random.fold_in(sub, rank)
+            feats = fused[:, feat_slice]
 
             def loss_fn(params):
                 kwargs = dict(train=True, dropout_rng=sub)
@@ -516,7 +526,36 @@ def make_edge_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                 jax.lax.psum(verts.astype(jnp.float32), axis),
                 jax.lax.psum(drops, axis),
             ])
-            return (new_state, new_acc), None
+            return new_state, new_acc
+
+        if cfg.train.halo_pipeline and num_batches > 1:
+            # one-deep software pipeline: the carried batch is computed
+            # while the NEXT batch's sample + all_to_all runs — both live
+            # in the same scan step but share no dataflow, so the
+            # scheduler may overlap them
+            def one_p(carry, xs):
+                state, acc, batch = carry
+                seeds, smask, skey = xs
+                nxt = sample_and_fetch(seeds, smask, skey)
+                state, acc = train_one(state, acc, batch)
+                return (state, acc, nxt), None
+
+            first = sample_and_fetch(seeds_all[0], seed_mask_all[0],
+                                     step_keys[0])
+            (state, metrics_acc, last), _ = jax.lax.scan(
+                one_p, (state, metrics_acc, first),
+                (seeds_all[1:], seed_mask_all[1:], step_keys[1:]),
+                unroll=cfg.train.scan_unroll,
+            )
+            state, metrics_acc = train_one(state, metrics_acc, last)
+            return state, metrics_acc
+
+        def one(carry, xs):
+            state, acc = carry
+            seeds, smask, skey = xs
+            batch = sample_and_fetch(seeds, smask, skey)
+            state, acc = train_one(state, acc, batch)
+            return (state, acc), None
 
         (state, metrics_acc), _ = jax.lax.scan(
             one, (state, metrics_acc),

@@ -101,3 +101,21 @@ def test_edge_mode_paired_draws(learn_ds):
     tr.train(3)
     losses = [m.mean_loss for m in tr.epoch_metrics]
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_edge_mode_halo_pipeline_equivalent(learn_ds):
+    """Software-pipelined edge epoch (sample+exchange batch i+1 inside
+    batch i's step, SURVEY §7 overlap) must reproduce the unpipelined
+    trajectory — same per-batch keys, same step order."""
+    mesh = make_mesh(4)
+    runs = {}
+    for pipe in (False, True):
+        cfg = _cfg_device()
+        cfg.train.halo_pipeline = pipe
+        tr = DataParallelTrainer.from_dataset(
+            cfg, learn_ds, mesh=mesh, seed=0, feature_source="edge",
+        )
+        tr.train(3)
+        runs[pipe] = [m.mean_loss for m in tr.epoch_metrics]
+        assert tr.halo_drops == 0
+    np.testing.assert_allclose(runs[False], runs[True], rtol=1e-5)
