@@ -221,14 +221,26 @@ def _multihost_parent(args):
     cache_dir = os.path.expanduser(
         f"~/.cache/pagraph_tpu_bench/scale{args.scale}_{args.feat}")
     if not os.path.exists(os.path.join(cache_dir, "ok")):
+        # pure-numpy generation (no jax backend touched): workers memmap
+        # these files and fault in only the pages their chips own
         log("[scale] generating + persisting dataset for memmap workers...")
-        env = dict(os.environ, PAGRAPH_SCALE_SAVE="1")
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--scale", str(args.scale), "--feat", str(args.feat),
-             "--edge-factor", str(args.edge_factor), "--epochs", "1",
-             "--batch-size", str(args.batch_size)],
-            env=env, check=True, stdout=subprocess.DEVNULL)
+        from pagraph_tpu.data.synthetic import rmat_coo
+        from pagraph_tpu.graph import CSRGraph
+        from pagraph_tpu.utils.platform import parallel_random
+
+        t0 = time.time()
+        graph = CSRGraph.from_coo(rmat_coo(args.scale, args.edge_factor,
+                                           seed=1))
+        feats = parallel_random((graph.num_nodes, args.feat), seed=3)
+        os.makedirs(cache_dir, exist_ok=True)
+        for nm, arr in [("indptr", graph.indptr),
+                        ("indices", graph.indices),
+                        ("out_degrees", graph.out_degrees),
+                        ("feat", feats)]:
+            np.save(os.path.join(cache_dir, nm + ".npy"), arr)
+        open(os.path.join(cache_dir, "ok"), "w").write("ok")
+        log(f"[scale] dataset persisted in {time.time()-t0:.0f}s")
+        del graph, feats
     from pagraph_tpu.parallel.multihost import spawn_local
 
     with tempfile.TemporaryDirectory() as td:

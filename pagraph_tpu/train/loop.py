@@ -211,8 +211,14 @@ class Trainer:
                    part.local2full, **kw)
 
     def _maybe_fill_cache(self) -> None:
-        """Reference policy: size & fill the cache after the first training
-        step, when peak memory is known (pa_gcn.py:99-100)."""
+        """Size & fill the cache once, BEFORE the first step.
+
+        The reference fills after the first training step because it must
+        probe torch's allocator for peak usage (pa_gcn.py:99-100,
+        storage.py:77-88).  Under XLA every array size is known statically,
+        so the free-HBM budget needs no warm-up probe — filling up front is
+        the same capacity decision without running one batch at 100% miss
+        rate (deviation from reference timing noted in PARITY.md)."""
         if self._cache_filled:
             return
         c = self.cfg.cache
@@ -241,9 +247,7 @@ class Trainer:
         self.cache.reset_stats()
         tot_loss = tot_acc = 0.0
         nb = 0
-        first_step = not self._cache_filled
-        if first_step:
-            # warm-up step on the first batch with an empty cache, then fill
+        if not self._cache_filled:
             self._maybe_fill_cache()
         if self._is_cv:
             for mb, plan in self.loader.epoch():

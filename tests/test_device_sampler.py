@@ -423,3 +423,25 @@ def test_paired_draws_degenerate_partition():
     nbr_g, m_g = sample_hop(csr, dst, ones, 2, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(nbr_p), np.asarray(nbr_g))
     np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_g))
+
+
+def test_paired_draws_accuracy_ab(learn_ds):
+    """Accuracy A/B: paired row-gather draws vs independent draws at a
+    fanout-5 shape (ADVICE r1: window-correlated slots could hurt accuracy
+    — validate, don't assume). Same seeds, same epochs; final val accuracy
+    must agree within noise."""
+    from pagraph_tpu.models.inference import evaluate
+
+    accs = {}
+    for paired in (False, True):
+        cfg = _cfg("graphsage")
+        cfg.sampler.fanout = 5
+        cfg.sampler.paired_draws = paired
+        cfg.train.on_device_sampling = True
+        tr = Trainer.from_dataset(cfg, learn_ds, seed=3)
+        tr.train(4)
+        accs[paired] = evaluate(
+            jax.device_get(tr.state.params), cfg.model, learn_ds.graph,
+            learn_ds.features, learn_ds.labels, learn_ds.val_mask)
+    assert accs[True] > 0.5 and accs[False] > 0.5, accs
+    assert abs(accs[True] - accs[False]) < 0.06, accs
