@@ -87,11 +87,12 @@ class DataParallelTrainer:
 
         self._device_mode = cfg.train.on_device_sampling
         self._mp = is_multiprocess()
-        if self._mp and not self._device_mode:
+        if self._mp and not self._device_mode and feature_source != "cache":
             raise NotImplementedError(
-                "multi-process training drives the whole-epoch on-device "
-                "paths (train.on_device_sampling=True); the per-batch host "
-                "pipeline is a single-controller mode"
+                "multi-process per-batch host pipeline supports "
+                "feature_source='cache' (per-chip partial cache + host-DRAM "
+                "miss path); ici/edge are on-device modes "
+                "(train.on_device_sampling=True)"
             )
         if feature_source == "edge" and not self._device_mode:
             raise NotImplementedError(
@@ -159,6 +160,10 @@ class DataParallelTrainer:
             self.step_fn = make_dp_train_step(cfg, self._tx, self.mesh, offsets)
         self.timers = PhaseTimers()
         self.epoch_metrics: List[EpochMetrics] = []
+        # host-pipeline multi-process: this process samples/packs only the
+        # partitions its local devices own
+        self._local_rows = (local_dp_rows(self.mesh) if self._mp
+                            else list(range(len(self.parts))))
 
     def _stack_partition_structure(self):
         """Stack per-partition CSR/train-ids/labels on the dp axis (shared
@@ -466,34 +471,52 @@ class DataParallelTrainer:
             cap = c.capacity
         else:
             # uniform capacity: whatever HBM each chip can spare, bounded by
-            # the largest partition (cache arrays must stack uniformly)
+            # the largest partition (cache arrays must stack uniformly).
+            # auto_capacity depends only on row dtype/dim + the HBM budget,
+            # so every process computes the identical value — safe to take
+            # the min over LOCAL caches under multi-process.
             cap = min(
-                cache.auto_capacity(c.hbm_reserve_bytes)
-                for cache in self.caches
+                self.caches[r].auto_capacity(c.hbm_reserve_bytes)
+                for r in self._local_rows
             )
         cap = max(0, min(cap, max(p.num_nodes for p in self.parts)))
-        for cache in self.caches:
+        for r in self._local_rows:
+            cache = self.caches[r]
             cache.fill(capacity=min(cap, cache.graph.num_nodes), rank_by=c.rank_by)
             # pad shard to uniform [cap, dim] for stacking
             if cache.cache_values.shape[0] < max(cap, 1):
                 pad = max(cap, 1) - cache.cache_values.shape[0]
                 cache.cache_values = jnp.pad(cache.cache_values, ((0, pad), (0, 0)))
-        stacked = np.stack([np.asarray(c.cache_values) for c in self.caches])
-        self._cache_stacked = jax.device_put(stacked, self._dp)
-        # residency maps, padded to the largest partition with -1 (device plan)
         max_n = max(p.num_nodes for p in self.parts)
-        maps = np.full((len(self.caches), max_n), -1, dtype=np.int32)
-        for r, c in enumerate(self.caches):
-            maps[r, : len(c.cache_map)] = c.cache_map
-        self._cache_map_stacked = jax.device_put(maps, self._dp)
+        ref = self.caches[self._local_rows[0]].cache_values
+        self._cache_stacked = place_dp(
+            lambda r: np.asarray(self.caches[r].cache_values),
+            self.mesh, shape=(len(self.caches),) + ref.shape,
+            dtype=ref.dtype) if self._mp else jax.device_put(
+            np.stack([np.asarray(ch.cache_values) for ch in self.caches]),
+            self._dp)
+
+        def row_map(r):
+            m = np.full(max_n, -1, dtype=np.int32)
+            m[: len(self.caches[r].cache_map)] = self.caches[r].cache_map
+            return m
+
+        # residency maps, padded to the largest partition with -1
+        self._cache_map_stacked = place_dp(
+            row_map, self.mesh, shape=(len(self.caches), max_n),
+            dtype=np.int32) if self._mp else jax.device_put(
+            np.stack([row_map(r) for r in range(len(self.caches))]),
+            self._dp)
         if self.log:
             print(f"[cache] per-chip capacity={cap} vertices")
 
     # -- epoch loop ----------------------------------------------------------
 
     def _next_round(self, iters):
-        mbs = []
-        for r, it in enumerate(iters):
+        """One lockstep round of minibatches for this process's rows
+        (``iters`` is {global_row: iterator}); shorter partitions wrap."""
+        mbs = {}
+        for r, it in list(iters.items()):
             try:
                 mb = next(it)
             except StopIteration:
@@ -501,15 +524,30 @@ class DataParallelTrainer:
                 mb = next(iters[r])
             self._epoch_edges += mb.num_sampled_edges()
             self._epoch_vertices += mb.num_loaded_vertices()
-            mbs.append(mb)
+            mbs[r] = mb
         return mbs
 
+    def _put_rows(self, rows: dict, dtype=None):
+        """Global dp-sharded array from per-row host arrays.  Multi-process,
+        only this process's rows are present — the callback materializes
+        exactly the addressable shards."""
+        D = len(self.parts)
+        ref = rows[next(iter(rows))]
+        if not self._mp:
+            return jax.device_put(
+                np.stack([rows[r] for r in range(D)]), self._dp)
+        return place_dp(lambda r: rows[r], self.mesh,
+                        shape=(D,) + ref.shape,
+                        dtype=dtype or ref.dtype)
+
     def _epoch_batches(self):
-        """Yields (layout, i32[D,..], u8[D,..], f32[D,..]) packed stacks
-        (cache mode) or (layout, i32, u8, HaloPlan-stack) (ici mode)."""
+        """Yields (layout, {r: i32}, {r: u8}, {r: f32}) packed row dicts
+        (cache mode) or (layout, i32, u8, HaloPlan-stack) (ici mode).
+        Multi-process, only this process's rows appear in the dicts; the
+        step count is the GLOBAL lockstep maximum."""
         from ..sampling.pack import make_layout, pack
 
-        iters = [s.epoch() for s in self.samplers]
+        iters = {r: self.samplers[r].epoch() for r in self._local_rows}
         steps = max(s.num_batches for s in self.samplers)
         fanout = self.cfg.sampler.block_fanouts()
         total_dim = self.caches[0].total_dim
@@ -527,7 +565,8 @@ class DataParallelTrainer:
                     miss_slot=np.zeros(self.caps[0], dtype=np.int32),
                     miss_feats=np.zeros((0, 0), dtype=np.float32),
                 )
-                for r, mb in enumerate(mbs):
+                for r in sorted(mbs):
+                    mb = mbs[r]
                     full = self.parts[r].local2full[np.asarray(mb.input_nids)]
                     h = self._planner.plan(full, np.asarray(mb.input_mask))
                     self._halo_drops += int(
@@ -541,18 +580,24 @@ class DataParallelTrainer:
                 halo = _stack(halos)
                 yield layout, i32, u8, halo
                 continue
-            plans = []
-            for r, (mb, cache) in enumerate(zip(mbs, self.caches)):
-                plans.append(cache.fetch_plan(
-                    np.asarray(mb.input_nids), np.asarray(mb.input_mask)
-                ))
-            # per-device miss buckets differ: pad to the largest so the
-            # stacked buffers are uniform (zero rows are never gathered)
-            max_bucket = max(p.miss_feats.shape[0] for p in plans)
+            plans = {r: self.caches[r].fetch_plan(
+                np.asarray(mbs[r].input_nids), np.asarray(mbs[r].input_mask)
+            ) for r in mbs}
+            if self._mp:
+                # multi-process: the layout is a STATIC cross-process
+                # contract (shard_map executables must agree), so the miss
+                # bucket is pinned to the worst case instead of this
+                # round's local maximum
+                max_bucket = self.caps[0]
+            else:
+                # per-device miss buckets differ: pad to the largest so the
+                # stacked buffers are uniform (zero rows never gathered)
+                max_bucket = max(p.miss_feats.shape[0] for p in plans.values())
             layout = make_layout(self.caps, fanout, total_dim, max_bucket,
                                  device_plan=True)
-            packed = []
-            for mb, plan in zip(mbs, plans):
+            packed = {}
+            for r, mb in mbs.items():
+                plan = plans[r]
                 if plan.miss_feats.shape[0] < max_bucket:
                     plan = dataclasses.replace(
                         plan,
@@ -561,11 +606,11 @@ class DataParallelTrainer:
                             ((0, max_bucket - plan.miss_feats.shape[0]), (0, 0)),
                         ),
                     )
-                packed.append(pack(mb, plan, layout))
-            i32 = np.stack([p[0] for p in packed])
-            u8 = np.stack([p[1] for p in packed])
-            f32 = np.stack([p[2] for p in packed])
-            yield layout, i32, u8, f32
+                packed[r] = pack(mb, plan, layout)
+            yield (layout,
+                   {r: pk[0] for r, pk in packed.items()},
+                   {r: pk[1] for r, pk in packed.items()},
+                   {r: pk[2] for r, pk in packed.items()})
 
     def run_epoch(self, epoch: int = 0) -> EpochMetrics:
         if self._device_mode:
@@ -575,17 +620,21 @@ class DataParallelTrainer:
         ici = self.feature_source == "ici"
         if not ici and self._cache_stacked is None:
             self.fill_caches()
-        for c in self.caches:
-            c.reset_stats()
+        for r in self._local_rows:
+            self.caches[r].reset_stats()
         t0 = time.perf_counter()
         nb = 0
-        acc_buf = jax.device_put(np.zeros(3, dtype=np.float32),
-                                 replicated(self.mesh))
+        acc_buf = place_replicated(np.zeros(3, dtype=np.float32), self.mesh)
         for layout, i32, u8, extra in self._epoch_batches():
             with self.timers.scope("h2d"):
-                i32 = jax.device_put(i32, self._dp)
-                u8 = jax.device_put(u8, self._dp)
-                extra = jax.device_put(extra, self._dp)
+                if ici:
+                    i32 = jax.device_put(i32, self._dp)
+                    u8 = jax.device_put(u8, self._dp)
+                    extra = jax.device_put(extra, self._dp)
+                else:
+                    i32 = self._put_rows(i32)
+                    u8 = self._put_rows(u8)
+                    extra = self._put_rows(extra)
             with self.timers.scope("step"):
                 if ici:
                     self.state, acc_buf = self.step_fn(
@@ -601,7 +650,8 @@ class DataParallelTrainer:
         vals = np.asarray(acc_buf)
         tot_loss, tot_acc = float(vals[0]), float(vals[1])
         miss = (0.0 if ici
-                else float(np.mean([c.miss_rate() for c in self.caches])))
+                else float(np.mean([self.caches[r].miss_rate()
+                                    for r in self._local_rows])))
         em = EpochMetrics(
             epoch=epoch,
             mean_loss=tot_loss / max(nb, 1),
