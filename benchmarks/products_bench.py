@@ -84,6 +84,9 @@ def main():
     p.add_argument("--standard", action="store_true",
                    help="OGB-leaderboard shape (batch 1024, fanout 5, "
                         "3 layers, hidden 256) instead of the reference's")
+    p.add_argument("--no-paired", action="store_true",
+                   help="A/B: independent per-slot draws instead of the "
+                        "paired row-gather windows")
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="model fwd/bwd dtype (master params stay f32)")
@@ -111,12 +114,12 @@ def main():
         model = pg.ModelConfig(arch="graphsage", n_layers=2, hidden=256,
                                feat_dim=args.feat, n_classes=47, dropout=0.5)
         sampler = pg.SamplerConfig(batch_size=1024, fanout=5, num_hops=3,
-                                   paired_draws=True)
+                                   paired_draws=not args.no_paired)
     else:
         model = pg.ModelConfig(arch="graphsage", n_layers=1, hidden=16,
                                feat_dim=args.feat, n_classes=47, dropout=0.2)
         sampler = pg.SamplerConfig(batch_size=6000, fanout=2, num_hops=2,
-                                   paired_draws=True)
+                                   paired_draws=not args.no_paired)
     cfg = pg.Config(
         model=model,
         sampler=sampler,

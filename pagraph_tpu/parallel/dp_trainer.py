@@ -35,10 +35,6 @@ from .multihost import (host_fold_key, is_multiprocess, local_dp_rows,
 from .train_step import make_dp_train_step
 
 
-def _stack(trees):
-    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *trees)
-
-
 class DataParallelTrainer:
     def __init__(
         self,
@@ -87,12 +83,10 @@ class DataParallelTrainer:
 
         self._device_mode = cfg.train.on_device_sampling
         self._mp = is_multiprocess()
-        if self._mp and not self._device_mode and feature_source != "cache":
+        if self._mp and not self._device_mode and feature_source == "edge":
             raise NotImplementedError(
-                "multi-process per-batch host pipeline supports "
-                "feature_source='cache' (per-chip partial cache + host-DRAM "
-                "miss path); ici/edge are on-device modes "
-                "(train.on_device_sampling=True)"
+                "feature_source='edge' is an on-device mode: set "
+                "train.on_device_sampling=True"
             )
         if feature_source == "edge" and not self._device_mode:
             raise NotImplementedError(
@@ -406,24 +400,49 @@ class DataParallelTrainer:
 
     def _init_ici_features(self, field_names) -> None:
         """Shard the full fused feature matrix across the mesh's HBM and
-        build per-chip halo planners (parallel/halo.py)."""
+        build per-chip halo planners (parallel/halo.py).  Multi-process,
+        each process gathers only the rows its chips own (cyclic
+        ownership, matching halo.shard_features)."""
         from .halo import HaloPlanner, halo_width_for, shard_features
 
         n = self.store.num_nodes
-        fused = self.store.gather(field_names, np.arange(n, dtype=np.int64))
+        D = self.mesh.devices.size
         if self.cfg.cache.dtype == "bfloat16":
             import ml_dtypes
-            fused = fused.astype(ml_dtypes.bfloat16)
-        stack, shard_rows = shard_features(fused, self.mesh.devices.size)
-        self._feat_shards = jax.device_put(stack, self._dp)
+            fdtype = np.dtype(ml_dtypes.bfloat16)
+        else:
+            fdtype = np.dtype(np.float32)
+        if self._mp:
+            shard_rows = -(-n // D)
+            dim = self.store.total_dim(field_names)
+
+            def feat_row(r: int) -> np.ndarray:
+                mine = np.arange(r, n, D, dtype=np.int64)
+                f = self.store.gather(field_names, mine).astype(fdtype)
+                out = np.zeros((shard_rows, dim), dtype=fdtype)
+                out[: len(mine)] = f
+                return out
+
+            self._feat_shards = place_dp(
+                feat_row, self.mesh, shape=(D, shard_rows, dim),
+                dtype=fdtype)
+            stack_shape = (D, shard_rows, dim)
+            fused = None
+        else:
+            fused = self.store.gather(
+                field_names, np.arange(n, dtype=np.int64)).astype(fdtype)
+            stack, shard_rows = shard_features(fused, D)
+            self._feat_shards = jax.device_put(stack, self._dp)
         cap0 = self.caps[0]
         self._halo_width = halo_width_for(cap0, self.mesh.devices.size)
         self._planner = HaloPlanner(self.mesh.devices.size, shard_rows,
                                     self._halo_width)
         self._halo_drops = 0
         if self.log:
-            print(f"[ici] {n} x {fused.shape[1]} features sharded "
-                  f"{stack.shape}, halo width {self._halo_width}")
+            dim = self._feat_shards.shape[-1]
+            print(f"[ici] {n} x {dim} features sharded "
+                  f"{tuple(self._feat_shards.shape)}, halo width "
+                  f"{self._halo_width}")
 
     # -- construction helpers ------------------------------------------------
 
@@ -528,17 +547,25 @@ class DataParallelTrainer:
         return mbs
 
     def _put_rows(self, rows: dict, dtype=None):
-        """Global dp-sharded array from per-row host arrays.  Multi-process,
-        only this process's rows are present — the callback materializes
-        exactly the addressable shards."""
+        """Global dp-sharded array (or pytree of them, e.g. HaloPlan stacks)
+        from per-row host values.  Multi-process, only this process's rows
+        are present — the callback materializes exactly the addressable
+        shards."""
         D = len(self.parts)
-        ref = rows[next(iter(rows))]
-        if not self._mp:
-            return jax.device_put(
-                np.stack([rows[r] for r in range(D)]), self._dp)
-        return place_dp(lambda r: rows[r], self.mesh,
-                        shape=(D,) + ref.shape,
-                        dtype=dtype or ref.dtype)
+        keys = sorted(rows)
+
+        def put_leaf(*xs):
+            xs = [np.asarray(x) for x in xs]
+            if not self._mp:
+                full = {k: x for k, x in zip(keys, xs)}
+                return jax.device_put(
+                    np.stack([full[r] for r in range(D)]), self._dp)
+            byrow = {k: x for k, x in zip(keys, xs)}
+            return place_dp(lambda r: byrow[r], self.mesh,
+                            shape=(D,) + xs[0].shape,
+                            dtype=dtype or xs[0].dtype)
+
+        return jax.tree.map(put_leaf, *[rows[k] for k in keys])
 
     def _epoch_batches(self):
         """Yields (layout, {r: i32}, {r: u8}, {r: f32}) packed row dicts
@@ -565,6 +592,7 @@ class DataParallelTrainer:
                     miss_slot=np.zeros(self.caps[0], dtype=np.int32),
                     miss_feats=np.zeros((0, 0), dtype=np.float32),
                 )
+                halos, packed = {}, {}
                 for r in sorted(mbs):
                     mb = mbs[r]
                     full = self.parts[r].local2full[np.asarray(mb.input_nids)]
@@ -573,12 +601,12 @@ class DataParallelTrainer:
                         np.asarray(mb.input_mask).sum()
                         - np.asarray(h.valid).sum()
                     )
-                    halos.append(h)
-                    packed.append(pack(mb, empty, layout))
-                i32 = np.stack([p[0] for p in packed])
-                u8 = np.stack([p[1] for p in packed])
-                halo = _stack(halos)
-                yield layout, i32, u8, halo
+                    halos[r] = h
+                    packed[r] = pack(mb, empty, layout)
+                yield (layout,
+                       {r: pk[0] for r, pk in packed.items()},
+                       {r: pk[1] for r, pk in packed.items()},
+                       halos)
                 continue
             plans = {r: self.caches[r].fetch_plan(
                 np.asarray(mbs[r].input_nids), np.asarray(mbs[r].input_mask)
@@ -627,14 +655,9 @@ class DataParallelTrainer:
         acc_buf = place_replicated(np.zeros(3, dtype=np.float32), self.mesh)
         for layout, i32, u8, extra in self._epoch_batches():
             with self.timers.scope("h2d"):
-                if ici:
-                    i32 = jax.device_put(i32, self._dp)
-                    u8 = jax.device_put(u8, self._dp)
-                    extra = jax.device_put(extra, self._dp)
-                else:
-                    i32 = self._put_rows(i32)
-                    u8 = self._put_rows(u8)
-                    extra = self._put_rows(extra)
+                i32 = self._put_rows(i32)
+                u8 = self._put_rows(u8)
+                extra = self._put_rows(extra)
             with self.timers.scope("step"):
                 if ici:
                     self.state, acc_buf = self.step_fn(

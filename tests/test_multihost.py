@@ -121,3 +121,20 @@ def _run_multi_cmd(tmp_path, args, nprocs=2):
     assert codes == [0] * nprocs, codes
     with open(outs[0]) as f:
         return json.loads(f.read().strip().splitlines()[-1])
+
+
+def test_multiprocess_ici_host_pipeline_matches_single(tmp_path):
+    """Per-batch host pipeline with ICI-sharded features under 2 controller
+    processes (host halo planning per local partition, features gathered
+    per-owner into each process's chips): same trajectory as the
+    single-process run."""
+    base = [c for c in COMMON if c != "--on-device"]
+    extra = ["--feature-source", "ici", "--batch-size", "64"]
+    multi = _run_multi_cmd(tmp_path, base + extra)
+    single = _run_single_cmd(tmp_path, base + extra)
+    assert multi["num_processes"] == 2
+    np.testing.assert_allclose(multi["first_loss"], single["first_loss"],
+                               rtol=2e-3)
+    np.testing.assert_allclose(multi["final_loss"], single["final_loss"],
+                               rtol=2e-2)
+    assert multi["final_loss"] < multi["first_loss"]
