@@ -471,6 +471,10 @@ class DataParallelTrainer:
             ]
         elif cfg.partition.method == "dg":
             parts = dg_partition(ds.graph, ds.train_nids, ds.labels, n, hops)
+        elif cfg.partition.method == "kl":
+            from ..partition import kl_partition
+            parts = kl_partition(ds.graph, ds.train_nids, ds.labels, n, hops,
+                                 seed=seed)
         else:
             parts = hash_partition(ds.graph, ds.train_nids, ds.labels, n, hops,
                                    seed=seed)

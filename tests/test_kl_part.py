@@ -104,3 +104,30 @@ def test_kl_locality_beats_hash(small_ds):
     hs = partition_stats(hp, small_ds.num_nodes)
     ks = partition_stats(kp, small_ds.num_nodes)
     assert ks["replication_factor"] <= hs["replication_factor"] * 1.05
+
+
+def test_dp_trainer_routes_kl_method():
+    """DataParallelTrainer.from_dataset must actually use kl_partition for
+    method='kl' (it silently fell through to hash before round 2)."""
+    from unittest import mock
+
+    import pagraph_tpu as pg
+    from pagraph_tpu.data.synthetic import synthetic_dataset
+    from pagraph_tpu.parallel import DataParallelTrainer, make_mesh
+    import pagraph_tpu.partition as part_pkg
+
+    ds = synthetic_dataset(num_nodes=400, num_edges=3000, feat_dim=16,
+                           num_classes=4, seed=2, learnable=True)
+    m = pg.ModelConfig(arch="gcn", n_layers=1, hidden=8, feat_dim=16,
+                       n_classes=4)
+    cfg = pg.Config(
+        model=m,
+        sampler=pg.SamplerConfig(batch_size=32, fanout=2,
+                                 num_hops=m.num_sampled_hops),
+        partition=pg.PartitionConfig(num_parts=2, method="kl", num_hops=2),
+        train=pg.TrainConfig(lr=1e-2),
+    )
+    with mock.patch.object(part_pkg, "kl_partition",
+                           wraps=part_pkg.kl_partition) as spy:
+        DataParallelTrainer.from_dataset(cfg, ds, mesh=make_mesh(2), seed=0)
+    assert spy.called
