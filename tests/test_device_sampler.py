@@ -445,3 +445,13 @@ def test_paired_draws_accuracy_ab(learn_ds):
             learn_ds.features, learn_ds.labels, learn_ds.val_mask)
     assert accs[True] > 0.5 and accs[False] > 0.5, accs
     assert abs(accs[True] - accs[False]) < 0.06, accs
+
+
+@pytest.mark.parametrize("arch", ["gat", "gin"])
+def test_on_device_gat_gin(learn_ds, arch):
+    """The beyond-reference model families ride the on-device epoch too."""
+    cfg = _cfg(arch)
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(3)
+    losses = [m.mean_loss for m in tr.epoch_metrics]
+    assert losses[-1] < losses[0], losses
