@@ -197,3 +197,69 @@ def test_train_and_eval_cli_preprocess(ds_dir, tmp_path, capsys):
     results = _json.loads(out)["results"]
     assert len(results) == 2
     assert all(0.0 <= a <= 1.0 for a in results.values())
+
+
+def test_convert_reddit_layout_roundtrip(tmp_path):
+    """Synthesized DGL-Reddit payload (reddit_data.npz + reddit_graph.npz)
+    -> cli.convert -> load -> one training epoch.  Validates the ingestion
+    path for the reference's flagship dataset without network access."""
+    import scipy.sparse as spsp
+
+    rng = np.random.default_rng(0)
+    n = 300
+    coo = spsp.random(n, n, density=0.02, format="coo", rng=rng,
+                      dtype=np.float32)
+    src = tmp_path / "reddit"
+    src.mkdir()
+    types = rng.choice([1, 2, 3], size=n, p=[0.65, 0.1, 0.25])
+    np.savez(src / "reddit_data.npz",
+             feature=rng.random((n, 16), dtype=np.float32),
+             label=rng.integers(0, 5, size=n),
+             node_types=types)
+    spsp.save_npz(src / "reddit_graph.npz", coo.tocsr())
+
+    from pagraph_tpu.cli import convert
+    out = str(tmp_path / "reddit_ds")
+    convert.main(["--out", out, "--from-dgl-reddit", str(src)])
+    ds = load_dataset(out)
+    assert ds.num_nodes == n and ds.feat_dim == 16
+    assert ds.train_mask.sum() == (types == 1).sum()
+
+    import pagraph_tpu as pg
+    from pagraph_tpu.train.loop import Trainer
+    m = pg.ModelConfig(arch="graphsage", n_layers=1, hidden=8, feat_dim=16,
+                       n_classes=5)
+    cfg = pg.Config(model=m,
+                    sampler=pg.SamplerConfig(batch_size=32, fanout=2,
+                                             num_hops=m.num_sampled_hops),
+                    train=pg.TrainConfig(lr=1e-2))
+    tr = Trainer.from_dataset(cfg, ds, seed=0)
+    tr.train(1)
+    assert np.isfinite(tr.epoch_metrics[-1].mean_loss)
+
+
+def test_convert_ogb_layout_roundtrip(tmp_path):
+    """Synthesized OGB node-property layout (edge_index + node_feat +
+    node_label + split/) -> cli.convert -> load; split masks honored."""
+    rng = np.random.default_rng(1)
+    n, e = 200, 1500
+    src = tmp_path / "ogb"
+    (src / "split").mkdir(parents=True)
+    np.save(src / "edge_index.npy",
+            rng.integers(0, n, size=(2, e)).astype(np.int64))
+    np.save(src / "node_feat.npy", rng.random((n, 8), dtype=np.float32))
+    np.save(src / "node_label.npy", rng.integers(0, 4, size=n))
+    perm = rng.permutation(n)
+    np.save(src / "split" / "train.npy", perm[:120])
+    np.save(src / "split" / "valid.npy", perm[120:150])
+    np.save(src / "split" / "test.npy", perm[150:])
+
+    from pagraph_tpu.cli import convert
+    out = str(tmp_path / "ogb_ds")
+    convert.main(["--out", out, "--from-ogb", str(src)])
+    ds = load_dataset(out)
+    assert ds.num_nodes == n
+    assert ds.train_mask.sum() == 120
+    assert ds.val_mask.sum() == 30
+    assert ds.test_mask.sum() == 50
+    assert ds.graph.num_edges > 0
