@@ -111,9 +111,10 @@ def run(ds, *, cache_enabled: bool, epochs: int, seed: int = 0,
                              dtype=cache_dtype),
         train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
                              on_device_sampling=on_device,
-                             # measured on v5e: unroll=2 ~5% over unroll=1
-                             # (11.0M vs 10.5M edges/s, same run)
-                             scan_unroll=2 if on_device else 1),
+                             # re-measured r2 with the row-gather paired
+                             # sampler (interleaved A/B 2026-08-19):
+                             # unroll=4 16.72M vs unroll=2 16.10M median
+                             scan_unroll=4 if on_device else 1),
     )
     tr = Trainer.from_dataset(cfg, ds, seed=seed, log=False)
     tr.train(epochs)

@@ -124,7 +124,7 @@ def main():
         model=model,
         sampler=sampler,
         train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
-                             on_device_sampling=True, scan_unroll=2,
+                             on_device_sampling=True, scan_unroll=4,
                              dtype=args.compute_dtype),
     )
     t0 = time.time()
