@@ -115,9 +115,16 @@ def main():
                             ("feat", feats)]:
                 np.save(os.path.join(cache_dir, nm + ".npy"), arr)
             open(os.path.join(cache_dir, "ok"), "w").write("ok")
-    rng = np.random.default_rng(3)
-    proj = rng.normal(size=(args.feat, 47)).astype(np.float32)
-    labels = np.argmax(feats[:, :64] @ proj[:64], axis=1).astype(np.int64)
+    lab_path = os.path.join(cache_dir, "labels.npy")
+    if os.path.exists(lab_path):
+        # persisted by the generator: computing labels from the memmapped
+        # features here would fault in EVERY page of feat.npy in every
+        # worker, defeating the sharded-residency claim
+        labels = np.load(lab_path)
+    else:
+        rng = np.random.default_rng(3)
+        proj = rng.normal(size=(args.feat, 47)).astype(np.float32)
+        labels = np.argmax(feats[:, :64] @ proj[:64], axis=1).astype(np.int64)
     train, val, test = random_split_masks(n, train_frac=0.1, seed=4)
     ds = Dataset(graph, feats, labels, train, val, test)
     feat_gb = feats.nbytes / 1e9
@@ -232,11 +239,14 @@ def _multihost_parent(args):
         graph = CSRGraph.from_coo(rmat_coo(args.scale, args.edge_factor,
                                            seed=1))
         feats = parallel_random((graph.num_nodes, args.feat), seed=3)
+        rng = np.random.default_rng(3)
+        proj = rng.normal(size=(args.feat, 47)).astype(np.float32)
+        labels = np.argmax(feats[:, :64] @ proj[:64], axis=1).astype(np.int64)
         os.makedirs(cache_dir, exist_ok=True)
         for nm, arr in [("indptr", graph.indptr),
                         ("indices", graph.indices),
                         ("out_degrees", graph.out_degrees),
-                        ("feat", feats)]:
+                        ("feat", feats), ("labels", labels)]:
             np.save(os.path.join(cache_dir, nm + ".npy"), arr)
         open(os.path.join(cache_dir, "ok"), "w").write("ok")
         log(f"[scale] dataset persisted in {time.time()-t0:.0f}s")

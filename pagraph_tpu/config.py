@@ -208,10 +208,13 @@ class Config:
                 "gin needs the raw (1+eps)*self + sum update: the store's "
                 "mean pre-aggregation would change the model"
             )
-        if not isinstance(s.fanout, int):
+        import numbers
+        if (isinstance(s.fanout, bool)
+                or not isinstance(s.fanout, numbers.Integral)):
             raise ValueError(
-                f"sampler.fanout must be an int (got {type(s.fanout).__name__});"
-                " pass per-hop lists via sampler.fanouts"
+                f"sampler.fanout must be an integer (got "
+                f"{type(s.fanout).__name__}); pass per-hop lists via "
+                "sampler.fanouts"
             )
         s.hop_fanouts()                 # raises on bad per-hop fanouts
         # The one cross-phase contract the reference leaves to the user:

@@ -94,12 +94,15 @@ def _lstm_full_aggregate(graph: CSRGraph, h, lstm_params,
     h_dev = jnp.asarray(np.asarray(h, dtype=np.float32))
     p_dev = jax.tree.map(jnp.asarray, lstm_params)
     run = jax.jit(block_aggregate_lstm)
+    D_in = int(np.asarray(h).shape[1])
     # bucket = next power of two >= degree
     buckets = 1 << np.ceil(np.log2(np.maximum(deg[nz], 1))).astype(np.int64)
     indptr = graph.indptr
     for F in np.unique(buckets):
         vs = nz[buckets == F]
-        rows_max = max(1, int(row_budget // max(int(F), 1)))
+        # the gathered [rows, F, D] message tensor is rows*F*D elements:
+        # bound ALL of it by the budget, not just rows*F
+        rows_max = max(1, int(row_budget // max(int(F) * D_in, 1)))
         for i in range(0, len(vs), rows_max):
             chunk = vs[i:i + rows_max]
             lens = deg[chunk]
@@ -202,8 +205,12 @@ def full_graph_logits(
             outs.append(np.asarray(fn(p, jnp.asarray(x[i:i + batch_rows]))))
         return np.concatenate(outs, axis=0)
 
+    # gcn_cv always concat-skips (its init_params makes the output weight
+    # 2*hid wide unconditionally, models/gcn_cv.py) — ignore skip_connection
+    skip = cfg.skip_connection or cfg.arch == "gcn_cv"
+
     def finish(out, gi):
-        if gi == nl - 1 and cfg.skip_connection:
+        if gi == nl - 1 and skip:
             return np.concatenate([out, np.maximum(out, 0.0)], axis=1)
         if gi < nl:
             return np.maximum(out, 0.0)
@@ -304,8 +311,10 @@ def _full_graph_logits_device(params: dict, cfg: ModelConfig,
     off = 1 if cfg.preprocess else 0
     h = jnp.asarray(np.asarray(features, dtype=np.float32))
 
+    skip = cfg.skip_connection or cfg.arch == "gcn_cv"
+
     def finish(out, gi):
-        if gi == nl - 1 and cfg.skip_connection:
+        if gi == nl - 1 and skip:
             return jnp.concatenate([out, ACT(out)], axis=1)
         if gi < nl:
             return ACT(out)

@@ -83,16 +83,17 @@ class DataParallelTrainer:
 
         self._device_mode = cfg.train.on_device_sampling
         self._mp = is_multiprocess()
-        if self._mp and not self._device_mode and feature_source == "edge":
-            raise NotImplementedError(
-                "feature_source='edge' is an on-device mode: set "
-                "train.on_device_sampling=True"
-            )
         if feature_source == "edge" and not self._device_mode:
             raise NotImplementedError(
                 "feature_source='edge' (partition CSR + ICI-sharded "
                 "features) is an on-device mode: set "
                 "train.on_device_sampling=True"
+            )
+        if cfg.train.halo_pipeline and feature_source != "edge":
+            raise ValueError(
+                "train.halo_pipeline pipelines the EDGE mode's halo "
+                "exchange: set feature_source='edge' (it is a no-op "
+                "everywhere else)"
             )
         if cfg.model.arch == "gcn_cv" and (not self._device_mode
                                            or feature_source in ("ici", "edge")):
@@ -400,49 +401,21 @@ class DataParallelTrainer:
 
     def _init_ici_features(self, field_names) -> None:
         """Shard the full fused feature matrix across the mesh's HBM and
-        build per-chip halo planners (parallel/halo.py).  Multi-process,
-        each process gathers only the rows its chips own (cyclic
-        ownership, matching halo.shard_features)."""
-        from .halo import HaloPlanner, halo_width_for, shard_features
+        build per-chip halo planners (parallel/halo.py) — the per-batch
+        HOST-pipeline flavor of the device modes' feature placement.
+        Shares the cyclic-ownership gather with _shard_full_features;
+        the halo width is sized from the CALIBRATED layer-0 capacity
+        (the host pipeline's plan arrays are [P, H] per batch)."""
+        from .halo import HaloPlanner, halo_width_for
 
-        n = self.store.num_nodes
         D = self.mesh.devices.size
-        if self.cfg.cache.dtype == "bfloat16":
-            import ml_dtypes
-            fdtype = np.dtype(ml_dtypes.bfloat16)
-        else:
-            fdtype = np.dtype(np.float32)
-        if self._mp:
-            shard_rows = -(-n // D)
-            dim = self.store.total_dim(field_names)
-
-            def feat_row(r: int) -> np.ndarray:
-                mine = np.arange(r, n, D, dtype=np.int64)
-                f = self.store.gather(field_names, mine).astype(fdtype)
-                out = np.zeros((shard_rows, dim), dtype=fdtype)
-                out[: len(mine)] = f
-                return out
-
-            self._feat_shards = place_dp(
-                feat_row, self.mesh, shape=(D, shard_rows, dim),
-                dtype=fdtype)
-            stack_shape = (D, shard_rows, dim)
-            fused = None
-        else:
-            fused = self.store.gather(
-                field_names, np.arange(n, dtype=np.int64)).astype(fdtype)
-            stack, shard_rows = shard_features(fused, D)
-            self._feat_shards = jax.device_put(stack, self._dp)
-        cap0 = self.caps[0]
-        self._halo_width = halo_width_for(cap0, self.mesh.devices.size)
-        self._planner = HaloPlanner(self.mesh.devices.size, shard_rows,
-                                    self._halo_width)
+        n, total_dim, stack_shape = self._shard_full_features(field_names)
+        self._halo_width = halo_width_for(self.caps[0], D)
+        self._planner = HaloPlanner(D, self._shard_rows, self._halo_width)
         self._halo_drops = 0
         if self.log:
-            dim = self._feat_shards.shape[-1]
-            print(f"[ici] {n} x {dim} features sharded "
-                  f"{tuple(self._feat_shards.shape)}, halo width "
-                  f"{self._halo_width}")
+            print(f"[ici] {n} x {total_dim} features sharded "
+                  f"{tuple(stack_shape)}, halo width {self._halo_width}")
 
     # -- construction helpers ------------------------------------------------
 
@@ -656,7 +629,7 @@ class DataParallelTrainer:
             self.caches[r].reset_stats()
         t0 = time.perf_counter()
         nb = 0
-        acc_buf = place_replicated(np.zeros(3, dtype=np.float32), self.mesh)
+        acc_buf = place_replicated(np.zeros(5, dtype=np.float32), self.mesh)
         for layout, i32, u8, extra in self._epoch_batches():
             with self.timers.scope("h2d"):
                 i32 = self._put_rows(i32)
@@ -686,8 +659,10 @@ class DataParallelTrainer:
             time_s=time.perf_counter() - t0,
             miss_rate=miss,
             num_batches=nb,
-            edges=self._epoch_edges,
-            vertices=self._epoch_vertices,
+            # device-psum'd GLOBAL counts (the host counters only see this
+            # process's partitions under multi-process)
+            edges=int(vals[3]),
+            vertices=int(vals[4]),
         )
         self.epoch_metrics.append(em)
         if self.log:
@@ -828,8 +803,16 @@ class DataParallelTrainer:
             return
         from ..models.inference import evaluate
 
-        feats = (self._full_features if self._full_features is not None
-                 else self.store.fields["features"])
+        if self._full_features is not None:
+            feats = self._full_features
+        elif self.cfg.model.preprocess:
+            raise ValueError(
+                "eval under preprocess needs the RAW feature matrix (the "
+                "store's 'features' field holds the pre-aggregation): pass "
+                "full_features= (from_dataset does this automatically)"
+            )
+        else:
+            feats = self.store.fields["features"]
         params = jax.device_get(self.state.params)
         acc = evaluate(params, self.cfg.model, self._full_graph,
                        feats, self._full_labels,

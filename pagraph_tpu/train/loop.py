@@ -63,6 +63,12 @@ class Trainer:
         self.device = device
         self.log = log
         self._eval_data = eval_data
+        if cfg.train.halo_pipeline:
+            raise ValueError(
+                "train.halo_pipeline is a multi-chip EDGE-mode knob "
+                "(DataParallelTrainer, feature_source='edge'); the "
+                "single-chip trainer has no halo exchange to pipeline"
+            )
         if cfg.train.eval_every and eval_data is None:
             raise ValueError(
                 "cfg.train.eval_every is set but no eval_data was given "
