@@ -119,3 +119,24 @@ def test_edge_mode_halo_pipeline_equivalent(learn_ds):
         runs[pipe] = [m.mean_loss for m in tr.epoch_metrics]
         assert tr.halo_drops == 0
     np.testing.assert_allclose(runs[False], runs[True], rtol=1e-5)
+
+
+def test_edge_mode_sage_preprocess(learn_ds):
+    """Edge mode with the preprocess trick: the 'neigh' field rides the same
+    cyclic shard + halo exchange as 'features' (fused rows)."""
+    m = pg.ModelConfig(arch="graphsage", n_layers=2, hidden=16, feat_dim=32,
+                       n_classes=6, preprocess=True)
+    cfg = pg.Config(
+        model=m,
+        sampler=pg.SamplerConfig(batch_size=64, fanout=2,
+                                 num_hops=m.num_sampled_hops, seed=2),
+        partition=pg.PartitionConfig(num_parts=4, method="hash",
+                                     num_hops=m.num_sampled_hops),
+        train=pg.TrainConfig(lr=1e-2, on_device_sampling=True),
+    )
+    tr = DataParallelTrainer.from_dataset(
+        cfg, learn_ds, mesh=make_mesh(4), seed=0, feature_source="edge")
+    tr.train(3)
+    losses = [e.mean_loss for e in tr.epoch_metrics]
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert tr.halo_drops == 0
