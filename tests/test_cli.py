@@ -263,3 +263,28 @@ def test_convert_ogb_layout_roundtrip(tmp_path):
     assert ds.val_mask.sum() == 30
     assert ds.test_mask.sum() == 50
     assert ds.graph.num_edges > 0
+
+
+def test_infer_cli_writes_predictions(ds_dir, tmp_path, capsys):
+    """cli.infer: checkpoint -> full-graph predictions .npy + split accs."""
+    from pagraph_tpu.cli import infer, train
+
+    ck = str(tmp_path / "ck2")
+    train.main([
+        "--dataset", ds_dir, "--arch", "graphsage", "--n-hidden", "8",
+        "--batch-size", "64", "--num-neighbors", "2", "--epochs", "2",
+        "--lr", "0.01", "--ckpt-dir", ck, "--ckpt-every", "2",
+    ])
+    capsys.readouterr()
+    out = str(tmp_path / "preds.npy")
+    summary = infer.main([
+        "--dataset", ds_dir, "--ckpt-dir", ck, "--arch", "graphsage",
+        "--n-hidden", "8", "--out", out, "--save-logits",
+    ])
+    preds = np.load(out)
+    ds = load_dataset(ds_dir)
+    assert preds.shape == (ds.num_nodes,)
+    logits = np.load(out + ".logits.npy")
+    assert logits.shape[0] == ds.num_nodes
+    np.testing.assert_array_equal(preds, logits.argmax(axis=1))
+    assert 0.0 <= summary["test_acc"] <= 1.0
