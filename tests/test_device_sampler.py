@@ -365,7 +365,7 @@ def test_cv_gcn_on_device_training(learn_ds):
     assert abs(accs[0] - accs[1]) < 0.2, accs
 
 
-@pytest.mark.parametrize("fanout", [4, 5])
+@pytest.mark.parametrize("fanout", [4, 5, 12])
 def test_paired_draws_general_fanout(tiny_ds, fanout):
     """Paired draws at fanout > 2: masks match the generic path, sampled
     values are valid in-neighbors, per-slot marginals are uniform."""
