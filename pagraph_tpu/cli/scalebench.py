@@ -37,7 +37,8 @@ def _edges_per_s(metrics, warmup: int) -> float:
     return edges / max(secs, 1e-9)
 
 
-def run_one(cfg, ds, num_devices: int, seed: int):
+def run_one(cfg, ds, num_devices: int, seed: int,
+            feature_source: str = "cache"):
     """Train the workload on ``num_devices`` devices; return edges/s."""
     import copy
 
@@ -48,7 +49,8 @@ def run_one(cfg, ds, num_devices: int, seed: int):
         from pagraph_tpu.parallel import DataParallelTrainer, make_mesh
 
         mesh = make_mesh(num_devices)
-        tr = DataParallelTrainer.from_dataset(cfg, ds, mesh=mesh, seed=seed)
+        tr = DataParallelTrainer.from_dataset(cfg, ds, mesh=mesh, seed=seed,
+                                              feature_source=feature_source)
     else:
         from pagraph_tpu.train.loop import Trainer
 
@@ -68,6 +70,10 @@ def main(argv=None):
     p.add_argument("--cpu-devices", type=int, default=0,
                    help="use N virtual host devices (path validation mode)")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--feature-source", choices=["cache", "ici", "edge"],
+                   default="cache",
+                   help="multi-device feature placement (see cli.train); "
+                        "'edge' = partition CSR + ICI-sharded features")
     common.add_model_flags(p)
     common.add_sampler_flags(p)
     common.add_cache_flags(p)
@@ -113,7 +119,10 @@ def main(argv=None):
     )
     cfg.train.epochs = args.epochs
 
-    raw = {c: run_one(cfg, ds, c, args.seed) for c in counts}
+    raw = {c: run_one(cfg, ds, c, args.seed,
+                      feature_source=(args.feature_source
+                                      if c > 1 else "cache"))
+           for c in counts}
     # per-device baseline = the smallest count measured (1-device when the
     # list includes 1), independent of the order counts were given in
     cmin = min(counts)
