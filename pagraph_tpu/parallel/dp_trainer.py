@@ -845,6 +845,7 @@ class DataParallelTrainer:
             "num_devices": int(self.mesh.devices.size),
             "num_processes": int(jax.process_count()),
             "mean_epoch_time_s": float(np.mean([m.time_s for m in steady])),
+            "edges_per_epoch": int(self.epoch_metrics[-1].edges),
             "first_loss": self.epoch_metrics[0].mean_loss,
             "final_loss": self.epoch_metrics[-1].mean_loss,
             "final_acc": self.epoch_metrics[-1].mean_acc,

@@ -89,6 +89,9 @@ def test_multiprocess_host_pipeline_matches_single(tmp_path):
     assert multi["num_processes"] == 2
     assert multi["num_devices"] == 4 == single["num_devices"]
     assert 0.0 < multi["miss_rate"] < 1.0      # partial cache exercised
+    # edge counts are device-psum'd GLOBAL values: identical regardless of
+    # how many controller processes own the partitions
+    assert multi["edges_per_epoch"] == single["edges_per_epoch"] > 0
     np.testing.assert_allclose(multi["first_loss"], single["first_loss"],
                                rtol=2e-3)
     np.testing.assert_allclose(multi["final_loss"], single["final_loss"],
