@@ -112,20 +112,41 @@ class DataParallelTrainer:
         # partition so the stacked pytrees are uniform.
         max_nodes = max(p.num_nodes for p in self.parts)
         self.caps = cfg.sampler.layer_capacities(max_nodes)
+        iter_rows = (local_dp_rows(self.mesh) if self._mp
+                     else list(range(len(self.parts))))
         if not self._device_mode:
-            self.samplers = [
-                NeighborSampler(
-                    p.graph, p.train_nids, cfg.sampler, labels=p.labels,
+            self.samplers = {
+                r: NeighborSampler(
+                    self.parts[r].graph, self.parts[r].train_nids,
+                    cfg.sampler, labels=self.parts[r].labels,
                     seed=seed + 31 * r, caps=self.caps,
                 )
-                for r, p in enumerate(self.parts)
-            ]
+                for r in range(len(self.parts))
+            }
             if cfg.sampler.auto_caps:
-                # uniform caps across chips: elementwise max of per-chip probes
-                probed = np.array([s.calibrate_caps() for s in self.samplers])
+                # uniform caps across chips: elementwise max of per-chip
+                # probes over ALL partitions (multi-process: every process
+                # computes the identical value - caps are a cross-process
+                # layout contract)
+                probed = np.array([s.calibrate_caps()
+                                   for s in self.samplers.values()])
                 self.caps = tuple(int(c) for c in probed.max(axis=0))
-                for s in self.samplers:
+                for s in self.samplers.values():
                     s.set_caps(self.caps)
+            if cfg.train.remote_sampling:
+                # isolation mode at multi-chip scale (the reference's
+                # pa_iso: one sampler-process pool per trainer,
+                # examples/profile/pa_iso.py + dataloader.py:150-172):
+                # replace each LOCAL row's in-process sampler with a
+                # shared-memory slot-ring service; remote rows keep the
+                # cheap probe objects (never iterated)
+                from ..sampling.service import SampleService
+                for r in iter_rows:
+                    self.samplers[r] = SampleService(
+                        self.parts[r].graph, self.parts[r].train_nids,
+                        cfg.sampler, labels=self.parts[r].labels,
+                        seed=seed + 31 * r, caps=self.caps,
+                    )
         pad_dim = (128 if self._device_mode
                    and feature_source not in ("ici", "edge") else 1)
         self.caches = [
@@ -552,7 +573,7 @@ class DataParallelTrainer:
         from ..sampling.pack import make_layout, pack
 
         iters = {r: self.samplers[r].epoch() for r in self._local_rows}
-        steps = max(s.num_batches for s in self.samplers)
+        steps = max(s.num_batches for s in self.samplers.values())
         fanout = self.cfg.sampler.block_fanouts()
         total_dim = self.caches[0].total_dim
         ici = self.feature_source == "ici"

@@ -171,3 +171,32 @@ def test_dp_eval_every(learn_ds):
     s = tr.train(2)
     assert tr.epoch_metrics[-1].val_acc is not None
     assert s["val_acc"] > 1.5 / 6
+
+
+def test_dp_isolation_mode_matches_local_quality(learn_ds):
+    """Multi-chip isolation mode (reference pa_iso at multi-GPU scale): one
+    shared-memory sampler-process pool per chip. Different worker scheduling
+    means a different batch order than the in-process sampler, so compare
+    converged quality, not trajectories."""
+    import pagraph_tpu as pg
+    from pagraph_tpu.parallel import DataParallelTrainer, make_mesh
+
+    m = pg.ModelConfig(arch="gcn", n_layers=1, hidden=16, feat_dim=32,
+                       n_classes=6)
+    accs = {}
+    for iso in (False, True):
+        cfg = pg.Config(
+            model=m,
+            sampler=pg.SamplerConfig(batch_size=64, fanout=2,
+                                     num_hops=m.num_sampled_hops, seed=2),
+            partition=pg.PartitionConfig(num_parts=2, method="hash",
+                                         num_hops=m.num_sampled_hops),
+            train=pg.TrainConfig(lr=1e-2, remote_sampling=iso),
+        )
+        tr = DataParallelTrainer.from_dataset(cfg, learn_ds,
+                                              mesh=make_mesh(2), seed=0)
+        tr.train(4)
+        losses = [e.mean_loss for e in tr.epoch_metrics]
+        assert losses[-1] < losses[0], (iso, losses)
+        accs[iso] = tr.epoch_metrics[-1].mean_acc
+    assert abs(accs[True] - accs[False]) < 0.15, accs
