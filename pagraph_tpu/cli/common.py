@@ -71,6 +71,11 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--isolate", action="store_true",
                    help="isolation mode: sampling in worker processes "
                         "(reference pa_iso.py)")
+    p.add_argument("--one2all", action="store_true",
+                   help="with --isolate --partition N: ONE sampler pool "
+                        "over the full graph round-robins every chip "
+                        "(reference cache_server); default one2one = a "
+                        "pool per chip over its partition")
     p.add_argument("--fast-prng", action="store_true",
                    help="rbg PRNG for dropout/sampling draws (~25% faster "
                         "on-device epochs; different random streams than "

@@ -92,6 +92,8 @@ def main(argv=None):
             tr = DataParallelTrainer.from_dataset(
                 cfg, ds, mesh=mesh, seed=args.seed, log=is_proc0,
                 feature_source=args.feature_source,
+                dispatch=("one2all" if getattr(args, "one2all", False)
+                          else "one2one"),
             )
         else:
             from pagraph_tpu.train.loop import Trainer

@@ -35,6 +35,20 @@ from .multihost import (host_fold_key, is_multiprocess, local_dp_rows,
 from .train_step import make_dp_train_step
 
 
+class _ServiceRankView:
+    """Per-chip view of a shared one2all SampleService (epoch_for(rank))."""
+
+    def __init__(self, svc, rank: int):
+        self._svc, self._rank = svc, rank
+
+    @property
+    def num_batches(self) -> int:
+        return self._svc.num_batches
+
+    def epoch(self):
+        return self._svc.epoch_for(self._rank)
+
+
 class DataParallelTrainer:
     def __init__(
         self,
@@ -45,7 +59,13 @@ class DataParallelTrainer:
         mesh: Optional[Mesh] = None,
         seed: int = 0,
         log: bool = False,
-        feature_source: str = "cache",   # cache | ici
+        feature_source: str = "cache",   # cache | ici | edge
+        dispatch: str = "one2one",       # isolation-mode sampler dispatch:
+                                         # one2one = a worker pool per chip
+                                         # over ITS partition (pa_iso);
+                                         # one2all = ONE pool over the full
+                                         # graph round-robining every chip
+                                         # (the reference's cache_server)
         full_graph=None,                 # needed for ici + on-device sampling
         full_train_nids: Optional[np.ndarray] = None,
         full_labels: Optional[np.ndarray] = None,
@@ -63,6 +83,14 @@ class DataParallelTrainer:
             )
         self.log = log
         self.feature_source = feature_source
+        self.dispatch = dispatch
+        if dispatch not in ("one2one", "one2all"):
+            raise ValueError(f"unknown dispatch {dispatch!r}")
+        if dispatch == "one2all" and not cfg.train.remote_sampling:
+            raise ValueError(
+                "dispatch='one2all' is an isolation-mode knob: set "
+                "train.remote_sampling=True"
+            )
         self._full_graph = full_graph
         self._full_train_nids = full_train_nids
         self._full_labels = full_labels
@@ -133,7 +161,25 @@ class DataParallelTrainer:
                 self.caps = tuple(int(c) for c in probed.max(axis=0))
                 for s in self.samplers.values():
                     s.set_caps(self.caps)
-            if cfg.train.remote_sampling:
+            if cfg.train.remote_sampling and dispatch == "one2all":
+                # the reference's cache_server topology: ONE sampler pool
+                # over the FULL graph round-robins batches to every chip
+                # with tail make-up sends (dataloader.py:113-147); needs
+                # identity partitions (from_dataset builds full-graph
+                # views for this mode)
+                from ..sampling.service import SampleService
+                if full_graph is None:
+                    raise ValueError("one2all needs full_graph/"
+                                     "full_train_nids/full_labels")
+                svc = SampleService(
+                    full_graph, np.asarray(full_train_nids),
+                    cfg.sampler, labels=full_labels, seed=seed,
+                    caps=self.caps, num_consumers=len(self.parts),
+                )
+                self._one2all_service = svc
+                self.samplers = {r: _ServiceRankView(svc, r)
+                                 for r in range(len(self.parts))}
+            elif cfg.train.remote_sampling:
                 # isolation mode at multi-chip scale (the reference's
                 # pa_iso: one sampler-process pool per trainer,
                 # examples/profile/pa_iso.py + dataloader.py:150-172):
@@ -443,7 +489,8 @@ class DataParallelTrainer:
     @classmethod
     def from_dataset(cls, cfg: Config, ds: Dataset, *, mesh: Optional[Mesh] = None,
                      seed: int = 0, log: bool = False,
-                     feature_source: str = "cache") -> "DataParallelTrainer":
+                     feature_source: str = "cache",
+                     dispatch: str = "one2one") -> "DataParallelTrainer":
         mesh = mesh or make_mesh()
         n = mesh.devices.size
         pre = None
@@ -451,7 +498,8 @@ class DataParallelTrainer:
             pre = "gcn" if cfg.model.arch in ("gcn", "gcn_cv") else cfg.model.arch
         store = FeatureStore.build(ds.graph, ds.features, preprocess=pre)
         hops = cfg.partition.num_hops
-        if cfg.train.on_device_sampling and feature_source == "ici":
+        one2all = cfg.train.remote_sampling and dispatch == "one2all"
+        if (cfg.train.on_device_sampling and feature_source == "ici") or one2all:
             # full-graph sampling on every chip: partitioning is not used,
             # but the constructor wants one PartitionArtifact per device —
             # give each chip a view of the full graph (cheap: same arrays)
@@ -473,7 +521,7 @@ class DataParallelTrainer:
             parts = hash_partition(ds.graph, ds.train_nids, ds.labels, n, hops,
                                    seed=seed)
         return cls(cfg, store, parts, mesh=mesh, seed=seed, log=log,
-                   feature_source=feature_source,
+                   feature_source=feature_source, dispatch=dispatch,
                    full_graph=ds.graph, full_train_nids=ds.train_nids,
                    full_labels=ds.labels, full_val_mask=ds.val_mask,
                    full_features=ds.features)

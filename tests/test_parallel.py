@@ -200,3 +200,49 @@ def test_dp_isolation_mode_matches_local_quality(learn_ds):
         assert losses[-1] < losses[0], (iso, losses)
         accs[iso] = tr.epoch_metrics[-1].mean_acc
     assert abs(accs[True] - accs[False]) < 0.15, accs
+
+
+def test_dp_one2all_dispatch(learn_ds):
+    """one2all isolation: ONE sampler pool over the full graph round-robins
+    batches to every chip (the reference's cache_server topology,
+    dataloader.py:113-147). Identity partitions; per-chip caches over the
+    full vertex space."""
+    m = pg.ModelConfig(arch="gcn", n_layers=1, hidden=16, feat_dim=32,
+                       n_classes=6)
+    cfg = pg.Config(
+        model=m,
+        sampler=pg.SamplerConfig(batch_size=64, fanout=2,
+                                 num_hops=m.num_sampled_hops, seed=2),
+        partition=pg.PartitionConfig(num_parts=2, method="hash",
+                                     num_hops=m.num_sampled_hops),
+        train=pg.TrainConfig(lr=1e-2, remote_sampling=True),
+    )
+    tr = DataParallelTrainer.from_dataset(cfg, learn_ds, mesh=make_mesh(2),
+                                          seed=0, dispatch="one2all")
+    try:
+        tr.train(4)
+        losses = [e.mean_loss for e in tr.epoch_metrics]
+        assert losses[-1] < losses[0], losses
+        # identity partitions: every chip sees the full vertex space
+        assert all(p.num_nodes == learn_ds.num_nodes for p in tr.parts)
+        # together the chips consume the whole train set per epoch
+        n_train = len(learn_ds.train_nids)
+        per_chip = tr.samplers[0].num_batches
+        assert per_chip * 2 * 64 >= n_train
+    finally:
+        tr._one2all_service.close()
+
+
+def test_one2all_requires_isolation():
+    ds = synthetic_dataset(num_nodes=300, num_edges=2000, feat_dim=16,
+                           num_classes=4, seed=1)
+    cfg = pg.Config(
+        model=pg.ModelConfig(arch="gcn", n_layers=1, hidden=8, feat_dim=16,
+                             n_classes=4),
+        sampler=pg.SamplerConfig(batch_size=32, fanout=2, num_hops=2),
+        partition=pg.PartitionConfig(num_parts=2, method="hash", num_hops=2),
+        train=pg.TrainConfig(lr=1e-2),
+    )
+    with pytest.raises(ValueError, match="one2all"):
+        DataParallelTrainer.from_dataset(cfg, ds, mesh=make_mesh(2), seed=0,
+                                         dispatch="one2all")
