@@ -350,6 +350,19 @@ class DataParallelTrainer:
             max_n,
         )
 
+    def close(self) -> None:
+        """Shut down isolation-mode sampler worker pools (one2one services
+        and the shared one2all pool).  Safe to call multiple times; daemon
+        workers also die with the process, so this is hygiene, not
+        correctness."""
+        svc = getattr(self, "_one2all_service", None)
+        if svc is not None:
+            svc.close()
+        for s_ in getattr(self, "samplers", {}).values() or []:
+            close_fn = getattr(s_, "close", None)
+            if close_fn is not None:
+                close_fn()
+
     def _set_epoch_key(self, seed: int) -> None:
         self._epoch_key = jax.random.PRNGKey(seed ^ 0x5EED)
         # multi-process dispatch passes the folded key as host data (every
