@@ -107,12 +107,18 @@ def main():
         feats = parallel_random((n, args.feat), seed=3)
         if os.environ.get("PAGRAPH_SCALE_SAVE"):
             # optional: this host's disk writes ~10MB/s, so persisting 20GB
-            # usually costs more than regenerating (~12 min in RAM)
+            # usually costs more than regenerating (~12 min in RAM).
+            # labels MUST be persisted with the features: recomputing them
+            # against a memmapped feat.npy faults in every page
+            rng = np.random.default_rng(3)
+            proj = rng.normal(size=(args.feat, 47)).astype(np.float32)
+            labels = np.argmax(feats[:, :64] @ proj[:64], axis=1
+                               ).astype(np.int64)
             os.makedirs(cache_dir, exist_ok=True)
             for nm, arr in [("indptr", graph.indptr),
                             ("indices", graph.indices),
                             ("out_degrees", graph.out_degrees),
-                            ("feat", feats)]:
+                            ("feat", feats), ("labels", labels)]:
                 np.save(os.path.join(cache_dir, nm + ".npy"), arr)
             open(os.path.join(cache_dir, "ok"), "w").write("ok")
     lab_path = os.path.join(cache_dir, "labels.npy")

@@ -56,6 +56,10 @@ def main(argv=None):
     if not have:
         raise SystemExit(f"no {model.arch} checkpoints under {args.ckpt_dir}")
     epoch = args.epoch if args.epoch is not None else have[-1]
+    if epoch not in have:
+        raise SystemExit(
+            f"no epoch-{epoch} checkpoint under {args.ckpt_dir}; "
+            f"available: {have}")
     template, _ = create_state(cfg)
     state = restore_checkpoint(args.ckpt_dir, model.arch, epoch, template)
 

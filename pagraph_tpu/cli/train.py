@@ -96,6 +96,11 @@ def main(argv=None):
                           else "one2one"),
             )
         else:
+            if getattr(args, "one2all", False):
+                raise SystemExit(
+                    "--one2all needs --isolate and --partition N > 1 "
+                    "(single-chip isolation is one2one by construction)"
+                )
             from pagraph_tpu.train.loop import Trainer
             tr = Trainer.from_dataset(cfg, ds, seed=args.seed, log=True)
         start = tr.resume() if args.resume else 0

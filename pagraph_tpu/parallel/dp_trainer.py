@@ -143,34 +143,30 @@ class DataParallelTrainer:
         iter_rows = (local_dp_rows(self.mesh) if self._mp
                      else list(range(len(self.parts))))
         if not self._device_mode:
-            self.samplers = {
-                r: NeighborSampler(
-                    self.parts[r].graph, self.parts[r].train_nids,
-                    cfg.sampler, labels=self.parts[r].labels,
-                    seed=seed + 31 * r, caps=self.caps,
-                )
-                for r in range(len(self.parts))
-            }
-            if cfg.sampler.auto_caps:
-                # uniform caps across chips: elementwise max of per-chip
-                # probes over ALL partitions (multi-process: every process
-                # computes the identical value - caps are a cross-process
-                # layout contract)
-                probed = np.array([s.calibrate_caps()
-                                   for s in self.samplers.values()])
-                self.caps = tuple(int(c) for c in probed.max(axis=0))
-                for s in self.samplers.values():
-                    s.set_caps(self.caps)
-            if cfg.train.remote_sampling and dispatch == "one2all":
+            one2all = cfg.train.remote_sampling and dispatch == "one2all"
+            if one2all:
                 # the reference's cache_server topology: ONE sampler pool
                 # over the FULL graph round-robins batches to every chip
-                # with tail make-up sends (dataloader.py:113-147); needs
-                # identity partitions (from_dataset builds full-graph
-                # views for this mode)
+                # with tail make-up sends (dataloader.py:113-147).  The
+                # service emits FULL-graph vertex ids, so every partition
+                # must be an identity full-graph view (from_dataset builds
+                # them for this mode).
                 from ..sampling.service import SampleService
                 if full_graph is None:
                     raise ValueError("one2all needs full_graph/"
                                      "full_train_nids/full_labels")
+                if any(p.num_nodes != full_graph.num_nodes
+                       for p in self.parts):
+                    raise ValueError(
+                        "dispatch='one2all' samples FULL-graph vertex ids: "
+                        "partitions must be identity full-graph views "
+                        "(use from_dataset, which builds them)"
+                    )
+                if cfg.sampler.auto_caps:
+                    probe = NeighborSampler(
+                        full_graph, np.asarray(full_train_nids), cfg.sampler,
+                        labels=full_labels, seed=seed, caps=self.caps)
+                    self.caps = tuple(int(c) for c in probe.calibrate_caps())
                 svc = SampleService(
                     full_graph, np.asarray(full_train_nids),
                     cfg.sampler, labels=full_labels, seed=seed,
@@ -179,7 +175,26 @@ class DataParallelTrainer:
                 self._one2all_service = svc
                 self.samplers = {r: _ServiceRankView(svc, r)
                                  for r in range(len(self.parts))}
-            elif cfg.train.remote_sampling:
+            else:
+                self.samplers = {
+                    r: NeighborSampler(
+                        self.parts[r].graph, self.parts[r].train_nids,
+                        cfg.sampler, labels=self.parts[r].labels,
+                        seed=seed + 31 * r, caps=self.caps,
+                    )
+                    for r in range(len(self.parts))
+                }
+                if cfg.sampler.auto_caps:
+                    # uniform caps across chips: elementwise max of per-chip
+                    # probes over ALL partitions (multi-process: every
+                    # process computes the identical value - caps are a
+                    # cross-process layout contract)
+                    probed = np.array([s.calibrate_caps()
+                                       for s in self.samplers.values()])
+                    self.caps = tuple(int(c) for c in probed.max(axis=0))
+                    for s in self.samplers.values():
+                        s.set_caps(self.caps)
+            if cfg.train.remote_sampling and not one2all:
                 # isolation mode at multi-chip scale (the reference's
                 # pa_iso: one sampler-process pool per trainer,
                 # examples/profile/pa_iso.py + dataloader.py:150-172):
@@ -600,7 +615,8 @@ class DataParallelTrainer:
             except StopIteration:
                 iters[r] = self.samplers[r].epoch()       # wrap: make-up batch
                 mb = next(iters[r])
-            self._epoch_edges += mb.num_sampled_edges()
+            # edges come device-psum'd from the step (exact, global);
+            # vertices only the host knows (inner-layer masks don't travel)
             self._epoch_vertices += mb.num_loaded_vertices()
             mbs[r] = mb
         return mbs
@@ -702,7 +718,6 @@ class DataParallelTrainer:
     def run_epoch(self, epoch: int = 0) -> EpochMetrics:
         if self._device_mode:
             return self._run_epoch_on_device(epoch)
-        self._epoch_edges = 0
         self._epoch_vertices = 0
         ici = self.feature_source == "ici"
         if not ici and self._cache_stacked is None:
@@ -711,7 +726,7 @@ class DataParallelTrainer:
             self.caches[r].reset_stats()
         t0 = time.perf_counter()
         nb = 0
-        acc_buf = place_replicated(np.zeros(5, dtype=np.float32), self.mesh)
+        acc_buf = place_replicated(np.zeros(4, dtype=np.float32), self.mesh)
         for layout, i32, u8, extra in self._epoch_batches():
             with self.timers.scope("h2d"):
                 i32 = self._put_rows(i32)
@@ -741,10 +756,13 @@ class DataParallelTrainer:
             time_s=time.perf_counter() - t0,
             miss_rate=miss,
             num_batches=nb,
-            # device-psum'd GLOBAL counts (the host counters only see this
-            # process's partitions under multi-process)
+            # edges: device-psum'd GLOBAL count (exact; the neigh masks
+            # travel with the packed batch).  vertices: host counter —
+            # inner-layer masks are not transmitted, so only the host knows
+            # the true valid counts; under multi-process this covers THIS
+            # process's partitions only.
             edges=int(vals[3]),
-            vertices=int(vals[4]),
+            vertices=self._epoch_vertices,
         )
         self.epoch_metrics.append(em)
         if self.log:
