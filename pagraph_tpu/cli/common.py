@@ -58,6 +58,11 @@ def add_cache_flags(p: argparse.ArgumentParser) -> None:
 
 def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lr", type=float, default=3e-2)
+    p.add_argument("--lr-schedule", choices=["none", "cosine"],
+                   default="none",
+                   help="cosine: decay lr to 5%% over --lr-decay-steps "
+                        "optimizer steps (beyond-reference)")
+    p.add_argument("--lr-decay-steps", type=int, default=0)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--ckpt-dir", type=str, default=None)
@@ -137,6 +142,8 @@ def build_config(args, *, feat_dim: int, n_classes: int) -> pg.Config:
         ),
         train=pg.TrainConfig(
             lr=args.lr,
+            lr_schedule=getattr(args, "lr_schedule", "none"),
+            lr_decay_steps=getattr(args, "lr_decay_steps", 0),
             epochs=args.epochs,
             log_every=args.log_every,
             ckpt_dir=args.ckpt_dir,

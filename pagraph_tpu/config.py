@@ -136,6 +136,11 @@ class PartitionConfig:
 @dataclasses.dataclass
 class TrainConfig:
     lr: float = 3e-2
+    lr_schedule: str = "none"         # none | cosine (beyond-reference:
+                                      # optax cosine decay to 5% of lr over
+                                      # lr_decay_steps optimizer steps)
+    lr_decay_steps: int = 0           # cosine horizon; required > 0 when
+                                      # lr_schedule='cosine'
     epochs: int = 10
     log_every: int = 20
     warmup_epochs: int = 2            # excluded from epoch-time mean (reference: pa_gcn.py:106)
@@ -227,6 +232,12 @@ class Config:
         if self.partition.num_hops < 1:
             raise ValueError("partition.num_hops must be >= 1")
         t = self.train
+        if t.lr_schedule not in ("none", "cosine"):
+            raise ValueError(f"unknown lr_schedule {t.lr_schedule!r}")
+        if t.lr_schedule == "cosine" and t.lr_decay_steps <= 0:
+            raise ValueError(
+                "lr_schedule='cosine' needs lr_decay_steps > 0 "
+                "(total optimizer steps of the planned run)")
         if t.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"train.dtype must be float32|bfloat16, "
                              f"got {t.dtype!r}")

@@ -76,12 +76,27 @@ def cast_cv_apply(apply_fn: Callable, dtype) -> Callable:
     return wrapped
 
 
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Adam, optionally under a cosine-decay schedule (beyond-reference:
+    the reference trains at a fixed lr, pa_gcn.py:63; products-scale runs
+    here showed val-acc decaying past the fixed-lr sweet spot,
+    BENCH_NOTES 'accuracy trajectory')."""
+    t = cfg.train
+    if t.lr_schedule == "none":
+        return optax.adam(t.lr)
+    if t.lr_schedule == "cosine":
+        steps = max(int(t.lr_decay_steps), 1)
+        sched = optax.cosine_decay_schedule(t.lr, steps, alpha=0.05)
+        return optax.adam(sched)
+    raise ValueError(f"unknown lr_schedule {t.lr_schedule!r}")
+
+
 def create_state(cfg: Config, seed: int = 0) -> tuple[TrainState, optax.GradientTransformation]:
     init_fn, _ = get_model(cfg.model)
     key = jax.random.PRNGKey(seed)
     pkey, dkey = jax.random.split(key)
     params = init_fn(pkey, cfg.model)
-    tx = optax.adam(cfg.train.lr)
+    tx = make_optimizer(cfg)
     opt_state = tx.init(params)
     return TrainState(params=params, opt_state=opt_state,
                       step=jnp.zeros((), jnp.int32), rng=dkey), tx

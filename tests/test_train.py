@@ -123,3 +123,32 @@ def test_eval_every_accepts_preprocess():
         sampler=pg.SamplerConfig(batch_size=32, fanout=2, num_hops=1),
         train=pg.TrainConfig(eval_every=2),
     ).validate()
+
+
+def test_cosine_lr_schedule_trains():
+    """Beyond-reference cosine decay: trains, and the optimizer count drives
+    the schedule (validated config contract)."""
+    from pagraph_tpu.data.synthetic import synthetic_dataset
+    from pagraph_tpu.train.loop import Trainer
+
+    ds = synthetic_dataset(num_nodes=600, num_edges=5000, feat_dim=16,
+                           num_classes=5, seed=13, learnable=True)
+    m = pg.ModelConfig(arch="gcn", n_layers=1, hidden=12, feat_dim=16,
+                       n_classes=5)
+    steps = (-(-len(ds.train_nids) // 128)) * 4
+    cfg = pg.Config(
+        model=m,
+        sampler=pg.SamplerConfig(batch_size=128, fanout=2,
+                                 num_hops=m.num_sampled_hops, seed=3),
+        train=pg.TrainConfig(lr=1e-2, lr_schedule="cosine",
+                             lr_decay_steps=steps),
+    )
+    tr = Trainer.from_dataset(cfg, ds, seed=0)
+    tr.train(4)
+    losses = [e.mean_loss for e in tr.epoch_metrics]
+    assert losses[-1] < losses[0], losses
+    with pytest.raises(ValueError, match="lr_decay_steps"):
+        pg.Config(model=m,
+                  sampler=pg.SamplerConfig(batch_size=128, fanout=2,
+                                           num_hops=m.num_sampled_hops),
+                  train=pg.TrainConfig(lr_schedule="cosine")).validate()
