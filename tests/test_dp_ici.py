@@ -140,3 +140,24 @@ def test_edge_mode_sage_preprocess(learn_ds):
     losses = [e.mean_loss for e in tr.epoch_metrics]
     assert losses[-1] < losses[0] * 0.7, losses
     assert tr.halo_drops == 0
+
+
+@pytest.mark.parametrize("arch", ["gat", "gin"])
+def test_edge_mode_gat_gin(learn_ds, arch):
+    """The beyond-reference families ride the edge-partitioned epoch too."""
+    m = pg.ModelConfig(arch=arch, n_layers=1, hidden=16, feat_dim=32,
+                       n_classes=6)
+    cfg = pg.Config(
+        model=m,
+        sampler=pg.SamplerConfig(batch_size=64, fanout=2,
+                                 num_hops=m.num_sampled_hops, seed=2),
+        partition=pg.PartitionConfig(num_parts=4, method="hash",
+                                     num_hops=m.num_sampled_hops),
+        train=pg.TrainConfig(lr=1e-2, on_device_sampling=True),
+    )
+    tr = DataParallelTrainer.from_dataset(
+        cfg, learn_ds, mesh=make_mesh(4), seed=0, feature_source="edge")
+    tr.train(3)
+    losses = [e.mean_loss for e in tr.epoch_metrics]
+    assert losses[-1] < losses[0], losses
+    assert tr.halo_drops == 0
