@@ -59,14 +59,26 @@ class SamplerConfig:
     backend: str = "auto"             # auto | numpy | native
     prefetch: int = 2                 # batches in flight (loader double-buffering)
     seed: int = 0
-    paired_draws: bool = False        # on-device sampler: draw each pair of
-                                      # neighbor slots as one random ALIGNED
-                                      # pair from the adjacency list (one
-                                      # 8 B gather instead of two).  Per-slot
-                                      # marginals stay uniform; slots within
-                                      # a pair are correlated (adjacent)
-                                      # instead of independent — a TPU
-                                      # transaction-count optimization
+    paired_draws: bool = False        # on-device sampler: ROW-GATHER draws.
+                                      # The adjacency list is viewed as an
+                                      # [E/8, 8] table and each vertex draw
+                                      # fetches ONE aligned 32 B row that
+                                      # serves up to 8 fanout slots — one
+                                      # HBM gather transaction per vertex
+                                      # per 8-slot window instead of one per
+                                      # slot (the sampler is transaction-
+                                      # bound; CLAUDE.md "Gather ceiling").
+                                      # Per-slot marginals are EXACTLY
+                                      # uniform over the neighbor list;
+                                      # slots within one window are
+                                      # correlated (near-without-
+                                      # replacement inside the aligned 8-
+                                      # wide window), windows independent.
+                                      # Tradeoff: vertices with deg <=
+                                      # fanout get uniform WITH-replacement
+                                      # draws instead of take-all (valid-
+                                      # slot count unchanged).  Details:
+                                      # sampling/device_sampler.sample_hop
 
     def hop_fanouts(self) -> Tuple[int, ...]:
         """Fanout at each expansion hop, seeds outward.

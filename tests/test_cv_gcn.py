@@ -137,3 +137,104 @@ def test_dp_cv_host_pipeline_raises(learn_ds):
         num_parts=4, num_hops=cfg.model.num_sampled_hops)
     with pytest.raises(NotImplementedError, match="on_device_sampling"):
         DataParallelTrainer.from_dataset(cfg, learn_ds, mesh=make_mesh(4))
+
+
+def test_cv_resume_restores_histories(tmp_path, learn_ds):
+    """Host-mode gcn_cv resume: the CV hist/agg arrays come back from the
+    checkpoint's .aux sidecar bit-identical (VERDICT r2 #6)."""
+    ckpt_dir = str(tmp_path / "cv_ck")
+    cfg = _cfg(nl=1)
+    cfg.train.ckpt_dir, cfg.train.ckpt_every = ckpt_dir, 1
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(2)
+    want_hist = [h.copy() for h in tr.cv_history.hist]
+    want_agg = [a.copy() for a in tr.cv_history.agg]
+    assert np.abs(want_hist[0]).sum() > 0          # non-trivial state
+
+    tr2 = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    start = tr2.resume()
+    assert start == 2
+    for got, want in zip(tr2.cv_history.hist, want_hist):
+        np.testing.assert_array_equal(got, want)
+    for got, want in zip(tr2.cv_history.agg, want_agg):
+        np.testing.assert_array_equal(got, want)
+    tr2.train(3, start_epoch=start)
+    assert np.isfinite(tr2.epoch_metrics[-1].mean_loss)
+
+
+def test_cv_resume_device_trajectory(tmp_path, learn_ds):
+    """On-device gcn_cv: a run resumed from epoch 1's checkpoint reproduces
+    the uninterrupted trajectory exactly (epoch keys fold by absolute epoch;
+    histories ride the .aux sidecar)."""
+    def build(ckpt_dir=None):
+        cfg = _cfg(nl=1)
+        cfg.train.on_device_sampling = True
+        if ckpt_dir:
+            cfg.train.ckpt_dir, cfg.train.ckpt_every = ckpt_dir, 1
+        return Trainer.from_dataset(cfg, learn_ds, seed=0)
+
+    full = build(str(tmp_path / "full"))
+    full.train(4)
+    full_losses = [m.mean_loss for m in full.epoch_metrics]
+
+    ck = str(tmp_path / "part")
+    tr = build(ck)
+    tr.train(2)
+    tr2 = build(ck)
+    start = tr2.resume()
+    assert start == 2
+    tr2.train(4, start_epoch=start)
+    resumed = [m.mean_loss for m in tr2.epoch_metrics]
+    np.testing.assert_allclose(resumed, full_losses[2:], rtol=1e-5)
+
+
+def test_cv_resume_missing_aux_warns(tmp_path, learn_ds):
+    """A pre-aux checkpoint (no .aux sidecar) must warn loudly and resume
+    with zero histories instead of failing."""
+    import shutil
+
+    ckpt_dir = str(tmp_path / "old_ck")
+    cfg = _cfg(nl=1)
+    cfg.train.ckpt_dir, cfg.train.ckpt_every = ckpt_dir, 1
+    tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    tr.train(1)
+    import os
+    aux = [p for p in os.listdir(ckpt_dir) if p.endswith(".aux")]
+    assert aux, "aux sidecar was not written"
+    for p in aux:
+        shutil.rmtree(os.path.join(ckpt_dir, p))
+    tr2 = Trainer.from_dataset(cfg, learn_ds, seed=0)
+    with pytest.warns(RuntimeWarning, match="no .*aux CV histories"):
+        start = tr2.resume()
+    assert start == 1
+    assert np.abs(tr2.cv_history.hist[0]).sum() == 0
+
+
+def test_dp_cv_resume_trajectory(tmp_path, learn_ds):
+    """Multi-chip on-device gcn_cv resume reproduces the uninterrupted
+    trajectory (per-partition hist/agg stacks ride the .aux sidecar)."""
+    from pagraph_tpu.parallel import DataParallelTrainer, make_mesh
+
+    def build(ckpt_dir=None):
+        cfg = _cfg()
+        cfg.partition = pg.PartitionConfig(
+            num_parts=4, num_hops=cfg.model.num_sampled_hops)
+        cfg.train.on_device_sampling = True
+        if ckpt_dir:
+            cfg.train.ckpt_dir, cfg.train.ckpt_every = ckpt_dir, 1
+        return DataParallelTrainer.from_dataset(
+            cfg, learn_ds, mesh=make_mesh(4), seed=5)
+
+    full = build(str(tmp_path / "dpfull"))
+    full.train(4)
+    full_losses = [m.mean_loss for m in full.epoch_metrics]
+
+    ck = str(tmp_path / "dppart")
+    tr = build(ck)
+    tr.train(2)
+    tr2 = build(ck)
+    start = tr2.resume()
+    assert start == 2
+    tr2.train(4, start_epoch=start)
+    resumed = [m.mean_loss for m in tr2.epoch_metrics]
+    np.testing.assert_allclose(resumed, full_losses[2:], rtol=1e-5)

@@ -36,7 +36,7 @@ def test_ici_training_reduces_loss(learn_ds, arch):
     losses = [m.mean_loss for m in tr.epoch_metrics]
     assert losses[-1] < losses[0] * 0.9, losses
     # generous default halo width: nothing dropped on this workload
-    assert tr._halo_drops == 0
+    assert tr.halo_drops == 0
 
 
 def test_ici_loss_close_to_cache_mode(learn_ds):
@@ -81,6 +81,38 @@ def test_edge_mode_trains_and_matches_cache(learn_ds):
             assert tr._feat_shards.shape[1] == -(-learn_ds.num_nodes // D)
     np.testing.assert_allclose(runs["cache"], runs["edge"], rtol=1e-4)
     assert runs["edge"][-1] < runs["edge"][0] * 0.9, runs
+
+
+def test_edge_mode_halo_drop_warning(learn_ds, monkeypatch):
+    """A deliberately narrow halo width must (a) warn loudly, (b) surface
+    halo_drops in the train() summary, and (c) still complete training
+    (dropped requests train on zeroed features, VERDICT r2 #5)."""
+    import pagraph_tpu.parallel.halo as halo_mod
+    monkeypatch.setattr(halo_mod, "halo_width_for",
+                        lambda cap0, num_shards, slack=1.5: 8)
+    tr = DataParallelTrainer.from_dataset(
+        _cfg_device(), learn_ds, mesh=make_mesh(4), seed=0,
+        feature_source="edge",
+    )
+    with pytest.warns(RuntimeWarning, match="halo requests overflowed"):
+        summary = tr.train(2)
+    assert summary["halo_drops"] > 0
+    assert tr.halo_drops == summary["halo_drops"]
+    assert np.isfinite(summary["final_loss"])
+
+
+def test_ici_host_halo_drop_warning(learn_ds, monkeypatch):
+    """Same contract on the per-batch HOST ici pipeline (HaloPlanner path)."""
+    import pagraph_tpu.parallel.halo as halo_mod
+    monkeypatch.setattr(halo_mod, "halo_width_for",
+                        lambda cap0, num_shards, slack=1.5: 8)
+    tr = DataParallelTrainer.from_dataset(
+        _cfg(), learn_ds, mesh=make_mesh(4), seed=0, feature_source="ici",
+    )
+    with pytest.warns(RuntimeWarning, match="halo requests overflowed"):
+        summary = tr.train(2)
+    assert summary["halo_drops"] > 0
+    assert np.isfinite(summary["final_loss"])
 
 
 def test_edge_mode_requires_on_device():
