@@ -64,9 +64,20 @@ def build_dataset(cache_dir: str, scale: int, edge_factor: int, feat: int):
             open(marker, "w").write("ok")
         log(f"[products] dataset built in {time.time()-t0:.0f}s")
     n = graph.num_nodes
-    rng = np.random.default_rng(5)
-    proj = rng.normal(size=(feat, 47)).astype(np.float32)
-    labels = np.argmax(feats @ proj, axis=1).astype(np.int64)
+    # structure-dependent 2-hop teacher labels (VERDICT r2 #1: the old
+    # argmax(feats @ proj) labels were solvable without the graph, so the
+    # val-acc milestones certified the loop, not the GNN).  One-time scipy
+    # SpMM over the full graph, cached beside the structure.
+    lab_path = os.path.join(path, "labels_nbr.npy")
+    if os.path.exists(lab_path):
+        labels = np.load(lab_path)
+    else:
+        from pagraph_tpu.data.synthetic import neighborhood_labels
+        t1 = time.time()
+        labels = neighborhood_labels(graph, feats, 47, seed=5)
+        if os.path.isdir(path):
+            np.save(lab_path, labels)
+        log(f"[products] neighborhood teacher labels in {time.time()-t1:.0f}s")
     # products' split: 196,615 train of 2,449,029 vertices (~8%)
     train, val, test = random_split_masks(n, train_frac=0.08, seed=6)
     log(f"[products] {n:,} vertices, {graph.num_edges:,} edges, "

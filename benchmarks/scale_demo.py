@@ -26,6 +26,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _teacher_labels(graph, feats) -> np.ndarray:
+    """Structure-dependent 2-hop teacher labels over a 32-dim feature slice
+    (VERDICT r2 #1; the slice bounds the SpMM scratch to n*32*4 bytes per
+    hop at 100M-vertex scale).  Faults every feature page — generator-time
+    only; steady-state workers load the persisted labels.npy."""
+    from pagraph_tpu.data.synthetic import neighborhood_labels
+
+    x = np.ascontiguousarray(feats[:, :32], dtype=np.float32)
+    return neighborhood_labels(graph, x, 47, seed=3)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scale", type=int, default=23, help="2^scale vertices")
@@ -110,10 +121,7 @@ def main():
             # usually costs more than regenerating (~12 min in RAM).
             # labels MUST be persisted with the features: recomputing them
             # against a memmapped feat.npy faults in every page
-            rng = np.random.default_rng(3)
-            proj = rng.normal(size=(args.feat, 47)).astype(np.float32)
-            labels = np.argmax(feats[:, :64] @ proj[:64], axis=1
-                               ).astype(np.int64)
+            labels = _teacher_labels(graph, feats)
             os.makedirs(cache_dir, exist_ok=True)
             for nm, arr in [("indptr", graph.indptr),
                             ("indices", graph.indices),
@@ -128,9 +136,7 @@ def main():
         # worker, defeating the sharded-residency claim
         labels = np.load(lab_path)
     else:
-        rng = np.random.default_rng(3)
-        proj = rng.normal(size=(args.feat, 47)).astype(np.float32)
-        labels = np.argmax(feats[:, :64] @ proj[:64], axis=1).astype(np.int64)
+        labels = _teacher_labels(graph, feats)
     train, val, test = random_split_masks(n, train_frac=0.1, seed=4)
     ds = Dataset(graph, feats, labels, train, val, test)
     feat_gb = feats.nbytes / 1e9

@@ -124,18 +124,27 @@ def test_convergence_parity_with_torch(tiny_ds):
     from pagraph_tpu.models.inference import evaluate
     from pagraph_tpu.train.loop import Trainer
 
+    # STRUCTURE-DEPENDENT task (VERDICT r2 #1): the anchor certifies the
+    # aggregation path, not just the loop — an MLP cannot solve these labels
+    # (tests/test_structure_labels.py pins the >= 20-point gap)
     ds = synthetic_dataset(num_nodes=1200, num_edges=9000, feat_dim=32,
-                           num_classes=6, seed=21, learnable=True)
+                           num_classes=6, seed=21, learnable="neighborhood")
     mcfg = pg.ModelConfig(arch="graphsage", n_layers=1, hidden=16,
                           feat_dim=32, n_classes=6, aggregator="mean",
                           dropout=0.0)
+    # auto_caps=False + numpy backend: the calibration probe consumes
+    # sampler rng draws, so disabling it makes the Trainer's batch stream
+    # IDENTICAL to the torch loop's identically-seeded sampler below —
+    # the two trainings see the same minibatches and the parity window
+    # tightens from "same plateau" to "same trajectory"
     cfg = pg.Config(
         model=mcfg,
         sampler=pg.SamplerConfig(batch_size=128, fanout=3,
-                                 num_hops=mcfg.num_sampled_hops, seed=7),
+                                 num_hops=mcfg.num_sampled_hops, seed=7,
+                                 auto_caps=False, backend="numpy"),
         train=pg.TrainConfig(lr=1e-2),
     )
-    EPOCHS = 4
+    EPOCHS = 20
 
     tr = Trainer.from_dataset(cfg, ds, seed=0)
     init_params = jax.device_get(tr.state.params)   # before any step
@@ -193,5 +202,8 @@ def test_convergence_parity_with_torch(tiny_ds):
     ], "lstm": []}
     acc_torch = evaluate(torch_as_ours, mcfg, ds.graph, ds.features,
                          ds.labels, ds.val_mask)
-    assert acc_ours > 0.6 and acc_torch > 0.6, (acc_ours, acc_torch)
+    # above-chance floor on the structure-dependent task (6 classes ->
+    # chance ~0.17; the short-run anchor value is recorded in BENCH_NOTES)
+    assert acc_ours > 0.25 and acc_torch > 0.25, (acc_ours, acc_torch)
+    # identical batch streams -> trajectories match up to f32 drift
     assert abs(acc_ours - acc_torch) < 0.03, (acc_ours, acc_torch)
