@@ -251,9 +251,7 @@ def _multihost_parent(args):
         graph = CSRGraph.from_coo(rmat_coo(args.scale, args.edge_factor,
                                            seed=1))
         feats = parallel_random((graph.num_nodes, args.feat), seed=3)
-        rng = np.random.default_rng(3)
-        proj = rng.normal(size=(args.feat, 47)).astype(np.float32)
-        labels = np.argmax(feats[:, :64] @ proj[:64], axis=1).astype(np.int64)
+        labels = _teacher_labels(graph, feats)
         os.makedirs(cache_dir, exist_ok=True)
         for nm, arr in [("indptr", graph.indptr),
                         ("indices", graph.indices),

@@ -25,6 +25,11 @@ def main(argv=None):
                    help="dg greedy stream implementation (native = C++, "
                         "bit-identical, ~10x faster at scale)")
     p.add_argument("--num-hops", type=int, default=1)
+    p.add_argument("--edge-balance", action="store_true",
+                   help="dg: balance partition EDGE footprints (in_deg+1 "
+                        "weights) instead of train-vertex counts — for the "
+                        "edge-partitioned trainer, whose per-chip HBM pads "
+                        "to max_p(E_p)")
     p.add_argument("--ordering", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -49,7 +54,8 @@ def main(argv=None):
     if args.method == "dg":
         parts = dg_partition(ds.graph, ds.train_nids, ds.labels,
                              args.partition, args.num_hops,
-                             backend=args.assign_backend)
+                             backend=args.assign_backend,
+                             edge_balance=args.edge_balance)
     elif args.method == "kl":
         parts = kl_partition(ds.graph, ds.train_nids, ds.labels,
                              args.partition, args.num_hops, seed=args.seed)

@@ -143,6 +143,14 @@ class PartitionConfig:
     method: str = "dg"                # dg | hash
     num_hops: int = 1                 # closure depth for self-reliance
     ordering: bool = False            # locality reordering before partitioning
+    edge_balance: bool = False        # dg: weight the balance term by
+                                      # in_deg+1 so partitions balance their
+                                      # CSR EDGE footprint (edge mode pads
+                                      # every chip to max_p(E_p); hub-heavy
+                                      # graphs skew badly under the plain
+                                      # vertex-count formula).  Affinity and
+                                      # redundancy terms stay reference-
+                                      # faithful (dg.py:54)
 
 
 @dataclasses.dataclass

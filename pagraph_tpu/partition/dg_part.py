@@ -52,6 +52,7 @@ def dg_assign(
     *,
     train_frac: Optional[float] = None,
     backend: str = "auto",           # auto | numpy | native
+    edge_balance: bool = False,
 ) -> np.ndarray:
     """Stream train vertices through the greedy scorer.
 
@@ -61,12 +62,27 @@ def dg_assign(
     output, needed at papers100M scale where the per-vertex numpy stream is
     the bottleneck (SURVEY.md §7 hard parts); ``auto`` prefers native and
     falls back to numpy if the toolchain is unavailable.
+
+    ``edge_balance=True`` weights each train vertex by ``in_deg(v) + 1`` in
+    the balance term (and sets ``avg`` to the mean per-partition WEIGHT), so
+    the greedy stream balances each partition's future CSR edge footprint
+    instead of its train-vertex count.  The edge-partitioned trainer pads
+    every chip's structure to ``max_p(E_p)`` (dp_trainer
+    ``_stack_partition_structure``), so edge skew is directly wasted HBM —
+    hub-heavy graphs assign whole hubs to one partition under the vertex
+    formula (VERDICT r2 #4).  The affinity (``com``) and redundancy
+    (``r_vnum``) terms are unchanged from the reference formula (dg.py:54).
     """
     n = graph.num_nodes
     train_nids = np.asarray(train_nids, dtype=np.int64)
-    if train_frac is None:
-        train_frac = len(train_nids) / max(n, 1)
-    avg = train_frac * n / num_parts
+    weights = None
+    if edge_balance:
+        weights = (graph.in_degrees[train_nids].astype(np.float64) + 1.0)
+        avg = float(weights.sum()) / num_parts
+    else:
+        if train_frac is None:
+            train_frac = len(train_nids) / max(n, 1)
+        avg = train_frac * n / num_parts
 
     if backend in ("auto", "native"):
         try:
@@ -78,7 +94,7 @@ def dg_assign(
         if dg_assign_native is not None:
             try:
                 return dg_assign_native(graph, train_nids, num_parts, hops,
-                                        avg)
+                                        avg, weights)
             # fall back only on toolchain problems (no g++, bad .so); data
             # errors (rc != 0 -> ValueError) must surface, not silently
             # rerun as an hours-long numpy stream
@@ -88,7 +104,7 @@ def dg_assign(
 
     train_belongs = np.full(n, -1, dtype=np.int32)   # train vertex -> part
     in_closure = np.zeros((num_parts, n), dtype=bool)  # redundancy bitmap
-    p_vnum = np.zeros(num_parts, dtype=np.int64)
+    p_vnum = np.zeros(num_parts, dtype=np.float64)
     r_vnum = np.zeros(num_parts, dtype=np.int64)
     out = np.empty(len(train_nids), dtype=np.int32)
 
@@ -107,7 +123,7 @@ def dg_assign(
         p = tied[np.argmin(p_vnum[tied])] if len(tied) > 1 else tied[0]
         out[i] = p
         train_belongs[nid] = p
-        p_vnum[p] += 1
+        p_vnum[p] += weights[i] if weights is not None else 1.0
         members = np.append(neigh, nid)
         fresh = ~in_closure[p, members]
         in_closure[p, members] = True
@@ -124,9 +140,11 @@ def dg_partition(
     *,
     train_frac: Optional[float] = None,
     backend: str = "auto",
+    edge_balance: bool = False,
 ) -> List[PartitionArtifact]:
     belongs = dg_assign(graph, train_nids, num_parts, hops,
-                        train_frac=train_frac, backend=backend)
+                        train_frac=train_frac, backend=backend,
+                        edge_balance=edge_balance)
     parts = []
     for p in range(num_parts):
         chunk = np.asarray(train_nids)[belongs == p]

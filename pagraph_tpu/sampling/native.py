@@ -28,6 +28,7 @@ _i64p = ctypes.POINTER(ctypes.c_int64)
 _i32p = ctypes.POINTER(ctypes.c_int32)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 _f32p = ctypes.POINTER(ctypes.c_float)
+_f64p = ctypes.POINTER(ctypes.c_double)
 
 
 def _build() -> None:
@@ -67,7 +68,8 @@ def get_lib() -> ctypes.CDLL:
             _i64p, _i32p, ctypes.c_int64,             # indptr, indices, n
             _i64p, ctypes.c_int64,                    # train_nids, num_train
             ctypes.c_int32, ctypes.c_int32,           # num_parts, hops
-            ctypes.c_double,                          # avg
+            ctypes.c_double,                          # avg (weight units)
+            _f64p,                                    # weights (NULL -> 1.0)
             _i32p,                                    # out belongs
         ]
         _lib = lib
@@ -167,19 +169,27 @@ def gather_rows_f32(src: np.ndarray, ids: np.ndarray,
 
 
 def dg_assign_native(graph: CSRGraph, train_nids: np.ndarray,
-                     num_parts: int, hops: int, avg: float) -> np.ndarray:
+                     num_parts: int, hops: int, avg: float,
+                     weights: Optional[np.ndarray] = None) -> np.ndarray:
     """C++ greedy dg assignment — bit-identical to the numpy stream in
     ``partition.dg_part.dg_assign`` (same double arithmetic and tie rules),
-    minus the per-vertex Python overhead (the papers100M-scale path)."""
+    minus the per-vertex Python overhead (the papers100M-scale path).
+    ``weights`` (float64 per train vertex, with ``avg`` in the same units)
+    switches the balance term to weighted loads — the edge-balance mode."""
     lib = get_lib()
     train_nids = np.ascontiguousarray(train_nids, dtype=np.int64)
     out = np.empty(len(train_nids), dtype=np.int32)
+    if weights is not None:
+        weights = np.ascontiguousarray(weights, dtype=np.float64)
+        wp = _ptr(weights, _f64p)
+    else:
+        wp = ctypes.cast(None, _f64p)
     rc = lib.pg_dg_assign(
         _ptr(graph.indptr, _i64p), _ptr(graph.indices, _i32p),
         ctypes.c_int64(graph.num_nodes),
         _ptr(train_nids, _i64p), ctypes.c_int64(len(train_nids)),
         ctypes.c_int32(num_parts), ctypes.c_int32(hops),
-        ctypes.c_double(avg), _ptr(out, _i32p),
+        ctypes.c_double(avg), wp, _ptr(out, _i32p),
     )
     if rc != 0:
         raise ValueError(f"native dg_assign failed (rc={rc})")
