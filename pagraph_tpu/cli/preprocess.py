@@ -36,7 +36,13 @@ def main(argv=None):
     p.add_argument("--directed", action="store_true",
                    help="keep the edge list directed (default symmetrize)")
     p.add_argument("--learnable-labels", action="store_true",
-                   help="labels from a random projection of features")
+                   help="labels from a random projection of features "
+                        "(structure-FREE: an MLP solves them; use "
+                        "--neighborhood-labels to test the GNN)")
+    p.add_argument("--neighborhood-labels", action="store_true",
+                   help="labels from a 2-hop teacher dominated by neighbor "
+                        "means (data/synthetic.neighborhood_labels) — "
+                        "accuracy on them certifies the aggregation path")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -72,7 +78,11 @@ def main(argv=None):
     n = graph.num_nodes
     rng = np.random.default_rng(args.seed + 1)
     feats = rng.random((n, args.feat_size), dtype=np.float32)
-    if args.learnable_labels:
+    if args.neighborhood_labels:
+        from pagraph_tpu.data.synthetic import neighborhood_labels
+        labels = neighborhood_labels(graph, feats, args.num_classes,
+                                     seed=args.seed + 1)
+    elif args.learnable_labels:
         proj = rng.normal(size=(args.feat_size, args.num_classes)).astype(np.float32)
         labels = np.argmax(feats @ proj, axis=1).astype(np.int64)
     else:

@@ -12,4 +12,5 @@ from .formats import (
     save_dataset,
     save_partition,
 )
-from .synthetic import random_coo, rmat_coo, random_split_masks, synthetic_dataset
+from .synthetic import (neighborhood_labels, random_coo, random_split_masks,
+                        rmat_coo, synthetic_dataset)

@@ -24,6 +24,7 @@ import optax
 
 from ..config import Config
 from ..models import get_model
+from ..ops.gather import chunked_take
 from ..sampling.device_sampler import DeviceCSR, sample_minibatch_device
 from .objective import masked_accuracy, masked_cross_entropy
 from .state import TrainState, cast_apply, compute_dtype
@@ -88,8 +89,8 @@ def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                 paired=paired,
             )
             rng, sub = jax.random.split(state.rng)
-            fused = jnp.take(cache_values, mb.input_nids, axis=0
-                             ).astype(jnp.float32)
+            fused = chunked_take(cache_values, mb.input_nids
+                                 ).astype(jnp.float32)
             feats = fused[:, feat_slice]
 
             def loss_fn(params):
@@ -203,8 +204,8 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
             )
             rng, sub = jax.random.split(state.rng)
             sub = jax.random.fold_in(sub, rank)
-            fused = jnp.take(cache_values, mb.input_nids, axis=0
-                             ).astype(jnp.float32)
+            fused = chunked_take(cache_values, mb.input_nids
+                                 ).astype(jnp.float32)
             feats = fused[:, feat_slice]
 
             def loss_fn(params):
@@ -649,8 +650,8 @@ def make_dp_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
             )
             rng, sub = jax.random.split(state.rng)
             sub = jax.random.fold_in(sub, rank)
-            fused = jnp.take(cache_values, mb.input_nids, axis=0
-                             ).astype(jnp.float32)
+            fused = chunked_take(cache_values, mb.input_nids
+                                 ).astype(jnp.float32)
             feats = fused[:, feat_slice]
             h_hist = [jnp.take(hists[b], mb.layer_nids[b], axis=0)
                       for b in range(hops)]
@@ -786,8 +787,8 @@ def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                 paired=paired,
             )
             rng, sub = jax.random.split(state.rng)
-            fused = jnp.take(cache_values, mb.input_nids, axis=0
-                             ).astype(jnp.float32)
+            fused = chunked_take(cache_values, mb.input_nids
+                                 ).astype(jnp.float32)
             feats = fused[:, feat_slice]
             h_hist = [jnp.take(hists[b], mb.layer_nids[b], axis=0)
                       for b in range(hops)]
