@@ -124,11 +124,14 @@ class DataParallelTrainer:
                 "everywhere else)"
             )
         if cfg.model.arch == "gcn_cv" and (not self._device_mode
-                                           or feature_source in ("ici", "edge")):
+                                           or feature_source == "ici"):
             raise NotImplementedError(
                 "multi-chip gcn_cv needs device-resident per-partition "
                 "histories: set train.on_device_sampling=True with "
-                "feature_source='cache'"
+                "feature_source='cache' or 'edge' (ici samples the FULL "
+                "graph on every chip, so chips would write divergent "
+                "histories for the same vertex; see the design note on "
+                "train/device_epoch.make_edge_cv_device_epoch_fn)"
             )
         if self._device_mode and feature_source == "ici" and full_graph is None:
             raise ValueError(
@@ -318,9 +321,12 @@ class DataParallelTrainer:
         """EDGE-PARTITIONED mode (BASELINE configs #4/#5): per-chip
         partition CSR (E/P structure) + cyclically ICI-sharded features
         (N*dim/P rows), layer-0 rows fetched from owner chips inside the
-        one-dispatch epoch (train/device_epoch.make_edge_device_epoch_fn).
-        Memory accounting is logged so per-chip HBM is auditable."""
-        from ..train.device_epoch import make_edge_device_epoch_fn
+        one-dispatch epoch (train/device_epoch.make_edge_device_epoch_fn;
+        gcn_cv composes its local-space histories with the same exchange,
+        make_edge_cv_device_epoch_fn).  Memory accounting is logged so
+        per-chip HBM is auditable."""
+        from ..train.device_epoch import (make_edge_cv_device_epoch_fn,
+                                          make_edge_device_epoch_fn)
 
         max_n, max_e, put = self._stack_partition_structure()
         D = len(self.parts)
@@ -331,10 +337,19 @@ class DataParallelTrainer:
             l2f[r, : len(p.local2full)] = p.local2full
         self._dev_local2full = put(l2f)
         n, total_dim, stack_shape = self._shard_full_features(field_names)
-        self.epoch_fn = make_edge_device_epoch_fn(
-            self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches,
-            self._shard_rows, self._halo_width,
-        )
+        self._is_cv = self.cfg.model.arch == "gcn_cv"
+        if self._is_cv:
+            self._build_cv_state(max_n, max_e, put)
+            self.epoch_fn = make_edge_cv_device_epoch_fn(
+                self.cfg, self._tx, self.mesh, offsets,
+                self._dev_num_batches, max_n, self._shard_rows,
+                self._halo_width,
+            )
+        else:
+            self.epoch_fn = make_edge_device_epoch_fn(
+                self.cfg, self._tx, self.mesh, offsets,
+                self._dev_num_batches, self._shard_rows, self._halo_width,
+            )
         self._set_epoch_key(seed)
         self.halo_drops = 0
         if self.log:
@@ -350,12 +365,22 @@ class DataParallelTrainer:
                   f"{self._dev_num_batches} steps/chip")
 
     def _init_dp_cv(self, offsets, max_n: int, max_e: int, put) -> None:
-        """Per-chip control-variate state: history/agg-history arrays over
-        each partition's local vertex space, plus each chip's padded edge
-        list for the end-of-epoch exact refresh (see
-        train/device_epoch.py make_dp_cv_device_epoch_fn)."""
-        from ..models.gcn_cv import layer_widths
+        """Per-chip control-variate state + the dp-cache epoch builder
+        (train/device_epoch.py make_dp_cv_device_epoch_fn)."""
         from ..train.device_epoch import make_dp_cv_device_epoch_fn
+
+        self._build_cv_state(max_n, max_e, put)
+        self.epoch_fn = make_dp_cv_device_epoch_fn(
+            self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches,
+            max_n,
+        )
+
+    def _build_cv_state(self, max_n: int, max_e: int, put) -> None:
+        """History/agg-history arrays over each partition's LOCAL vertex
+        space, plus each chip's padded edge list for the end-of-epoch exact
+        refresh — shared by the dp-cache and edge cv modes (histories are
+        local state in both; only the feature source differs)."""
+        from ..models.gcn_cv import layer_widths
 
         parts = self.parts
         D = len(parts)
@@ -381,10 +406,6 @@ class DataParallelTrainer:
         self._dev_esrc = put(esrc.reshape(D, ch, chunk))
         self._dev_edst = put(edst.reshape(D, ch, chunk))
         self._dev_invdeg = put(invdeg)
-        self.epoch_fn = make_dp_cv_device_epoch_fn(
-            self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches,
-            max_n,
-        )
 
     def close(self) -> None:
         """Shut down isolation-mode sampler worker pools (one2one services
@@ -822,11 +843,23 @@ class DataParallelTrainer:
         key = (host_fold_key(self._epoch_key_host, epoch) if self._mp
                else jax.random.fold_in(self._epoch_key, epoch))
         if getattr(self, "_is_cv", False):
+            src = (self._cache_stacked if self.feature_source == "cache"
+                   else None)
+            if self.feature_source == "edge":
+                (self.state, self._dev_hists, self._dev_aggs,
+                 acc) = self.epoch_fn(
+                    self.state, self._dev_hists, self._dev_aggs, key,
+                    self._dev_train_nids, self._dev_counts,
+                    self._dev_labels, self._dev_indptr, self._dev_indices,
+                    self._dev_local2full, self._feat_shards,
+                    self._dev_esrc, self._dev_edst, self._dev_invdeg,
+                )
+                return acc
             (self.state, self._dev_hists, self._dev_aggs,
              acc) = self.epoch_fn(
                 self.state, self._dev_hists, self._dev_aggs, key,
                 self._dev_train_nids, self._dev_counts, self._dev_labels,
-                self._dev_indptr, self._dev_indices, self._cache_stacked,
+                self._dev_indptr, self._dev_indices, src,
                 self._dev_esrc, self._dev_edst, self._dev_invdeg,
             )
             return acc
