@@ -43,6 +43,9 @@ def main():
     p.add_argument("--batch-size", type=int, default=6000)
     p.add_argument("--train-frac", type=float, default=0.1)
     p.add_argument("--method", default="dg", choices=["dg", "hash"])
+    p.add_argument("--edge-balance", action="store_true",
+                   help="dg: balance partition edge footprints (in_deg+1 "
+                        "weights) — the skew mitigation under audit here")
     args = p.parse_args()
 
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -91,7 +94,8 @@ def main():
     hops = 1     # reference headline: --num-hops 1 + preprocess
     if args.method == "dg":
         parts = dg_partition(ds.graph, ds.train_nids, ds.labels,
-                             args.parts, hops)
+                             args.parts, hops,
+                             edge_balance=args.edge_balance)
     else:
         parts = hash_partition(ds.graph, ds.train_nids, ds.labels,
                                args.parts, hops, seed=0)
