@@ -84,7 +84,8 @@ def build_dataset(cache_dir: str):
         t0 = time.time()
         ld = lambda n: np.load(os.path.join(path, n + ".npy"))
         graph = CSRGraph(ld("indptr"), ld("indices"), ld("out_degrees"))
-        ds = Dataset(graph, ld("feat"), _nbr_labels(path, graph, ld("feat")),
+        feat = ld("feat")        # bind once: ~400 MB, slow first-touch host
+        ds = Dataset(graph, feat, _nbr_labels(path, graph, feat),
                      ld("train"), ld("val"), ld("test"))
         log(f"[bench] loaded in {time.time()-t0:.1f}s")
         return ds

@@ -94,8 +94,11 @@ def main():
     step_gf = 3 * fwd_gf
 
     def make_epoch(T):
+        # csr/labels ride as jit ARGUMENTS: closed-over device arrays embed
+        # as HLO constants and the axon remote compile dies with HTTP 413
+        # (CLAUDE.md "Remote-compile payload limit")
         @jax.jit
-        def run(state, feats, key):
+        def run(state, feats, csr, labels_d, key):
             def one(carry, skey):
                 state = carry
                 mb = sample_minibatch_device(
@@ -126,15 +129,15 @@ def main():
 
     big, small = make_epoch(args.t_big), make_epoch(args.t_small)
     key = jax.random.PRNGKey(3)
-    float(np.asarray(big(state, feats, key))[0])
-    float(np.asarray(small(state, feats, key))[0])
+    float(np.asarray(big(state, feats, csr, labels_d, key))[0])
+    float(np.asarray(small(state, feats, csr, labels_d, key))[0])
     per = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        float(np.asarray(small(state, feats, key))[0])
+        float(np.asarray(small(state, feats, csr, labels_d, key))[0])
         ts = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(np.asarray(big(state, feats, key))[0])
+        float(np.asarray(big(state, feats, csr, labels_d, key))[0])
         tb = time.perf_counter() - t0
         per.append((tb - ts) / (args.t_big - args.t_small))
     step_s = float(np.median(per))

@@ -30,7 +30,7 @@ def _teacher_labels(graph, feats) -> np.ndarray:
     """Structure-dependent 2-hop teacher labels over a 32-dim feature slice
     (VERDICT r2 #1; the slice bounds the SpMM scratch to n*32*4 bytes per
     hop at 100M-vertex scale).  Faults every feature page — generator-time
-    only; steady-state workers load the persisted labels.npy."""
+    only; steady-state workers load the persisted labels_nbr.npy."""
     from pagraph_tpu.data.synthetic import neighborhood_labels
 
     x = np.ascontiguousarray(feats[:, :32], dtype=np.float32)
@@ -126,10 +126,13 @@ def main():
             for nm, arr in [("indptr", graph.indptr),
                             ("indices", graph.indices),
                             ("out_degrees", graph.out_degrees),
-                            ("feat", feats), ("labels", labels)]:
+                            ("feat", feats), ("labels_nbr", labels)]:
                 np.save(os.path.join(cache_dir, nm + ".npy"), arr)
             open(os.path.join(cache_dir, "ok"), "w").write("ok")
-    lab_path = os.path.join(cache_dir, "labels.npy")
+    # teacher labels cache under a NEW name: a round-2 cache dir holds
+    # structure-FREE labels under labels.npy — loading those would silently
+    # reintroduce the provenance bug this task fixes (VERDICT r2 #1)
+    lab_path = os.path.join(cache_dir, "labels_nbr.npy")
     if os.path.exists(lab_path):
         # persisted by the generator: computing labels from the memmapped
         # features here would fault in EVERY page of feat.npy in every
@@ -137,6 +140,8 @@ def main():
         labels = np.load(lab_path)
     else:
         labels = _teacher_labels(graph, feats)
+        if os.path.isdir(cache_dir):
+            np.save(lab_path, labels)
     train, val, test = random_split_masks(n, train_frac=0.1, seed=4)
     ds = Dataset(graph, feats, labels, train, val, test)
     feat_gb = feats.nbytes / 1e9
@@ -256,7 +261,7 @@ def _multihost_parent(args):
         for nm, arr in [("indptr", graph.indptr),
                         ("indices", graph.indices),
                         ("out_degrees", graph.out_degrees),
-                        ("feat", feats), ("labels", labels)]:
+                        ("feat", feats), ("labels_nbr", labels)]:
             np.save(os.path.join(cache_dir, nm + ".npy"), arr)
         open(os.path.join(cache_dir, "ok"), "w").write("ok")
         log(f"[scale] dataset persisted in {time.time()-t0:.0f}s")

@@ -123,6 +123,13 @@ class DataParallelTrainer:
                 "exchange: set feature_source='edge' (it is a no-op "
                 "everywhere else)"
             )
+        if cfg.train.halo_pipeline and cfg.model.arch == "gcn_cv":
+            raise NotImplementedError(
+                "halo_pipeline is not implemented for the gcn_cv edge "
+                "epoch (make_edge_cv_device_epoch_fn runs unpipelined; "
+                "CV history reads would have to be pipelined with the "
+                "batch too)"
+            )
         if cfg.model.arch == "gcn_cv" and (not self._device_mode
                                            or feature_source == "ici"):
             raise NotImplementedError(
@@ -843,8 +850,6 @@ class DataParallelTrainer:
         key = (host_fold_key(self._epoch_key_host, epoch) if self._mp
                else jax.random.fold_in(self._epoch_key, epoch))
         if getattr(self, "_is_cv", False):
-            src = (self._cache_stacked if self.feature_source == "cache"
-                   else None)
             if self.feature_source == "edge":
                 (self.state, self._dev_hists, self._dev_aggs,
                  acc) = self.epoch_fn(
@@ -859,7 +864,7 @@ class DataParallelTrainer:
              acc) = self.epoch_fn(
                 self.state, self._dev_hists, self._dev_aggs, key,
                 self._dev_train_nids, self._dev_counts, self._dev_labels,
-                self._dev_indptr, self._dev_indices, src,
+                self._dev_indptr, self._dev_indices, self._cache_stacked,
                 self._dev_esrc, self._dev_edst, self._dev_invdeg,
             )
             return acc
