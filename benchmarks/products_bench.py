@@ -95,6 +95,10 @@ def main():
     p.add_argument("--standard", action="store_true",
                    help="OGB-leaderboard shape (batch 1024, fanout 5, "
                         "3 layers, hidden 256) instead of the reference's")
+    p.add_argument("--fanouts", type=str, default=None,
+                   help="comma list of per-layer fanouts for --standard, "
+                        "outermost first (e.g. 15,10,5 = the DGL "
+                        "leaderboard recipe)")
     p.add_argument("--no-paired", action="store_true",
                    help="A/B: independent per-slot draws instead of the "
                         "paired row-gather windows")
@@ -124,7 +128,10 @@ def main():
     if args.standard:
         model = pg.ModelConfig(arch="graphsage", n_layers=2, hidden=256,
                                feat_dim=args.feat, n_classes=47, dropout=0.5)
-        sampler = pg.SamplerConfig(batch_size=1024, fanout=5, num_hops=3,
+        fanouts = (tuple(int(f) for f in args.fanouts.split(","))
+                   if args.fanouts else None)
+        sampler = pg.SamplerConfig(batch_size=1024, fanout=5,
+                                   fanouts=fanouts, num_hops=3,
                                    paired_draws=not args.no_paired)
     else:
         model = pg.ModelConfig(arch="graphsage", n_layers=1, hidden=16,

@@ -83,3 +83,20 @@ def test_lstm_aggregator_ignores_padding(tiny_ds):
     )
     out2 = block_aggregate_lstm(h_src, block2, params)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_chunked_take_matches_monolithic():
+    """ops/gather.chunked_take == jnp.take above and below the chunk
+    threshold (the split is a pure scheduling change)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pagraph_tpu.ops.gather import chunked_take
+
+    rng = np.random.default_rng(0)
+    tab = jnp.asarray(rng.random((500, 8), dtype=np.float32))
+    for m, chunk in [(100, 32), (1000, 32), (1000, 256), (65, 32)]:
+        ids = jnp.asarray(rng.integers(0, 500, size=m).astype(np.int32))
+        got = chunked_take(tab, ids, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(jnp.take(tab, ids, axis=0)))
