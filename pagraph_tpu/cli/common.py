@@ -102,6 +102,10 @@ def add_partition_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--partition", type=int, default=1,
                    help="number of partitions / chips")
     p.add_argument("--partition-method", choices=["dg", "hash", "kl"], default="dg")
+    p.add_argument("--edge-balance", action="store_true",
+                   help="dg: balance partition EDGE footprints (in_deg+1 "
+                        "weights) — for edge-partitioned training, whose "
+                        "per-chip HBM pads to the largest partition")
     p.add_argument("--ordering", action="store_true",
                    help="locality reordering before partitioning")
 
@@ -139,6 +143,7 @@ def build_config(args, *, feat_dim: int, n_classes: int) -> pg.Config:
             num_parts=getattr(args, "partition", 1),
             method=getattr(args, "partition_method", "dg"),
             num_hops=model.num_sampled_hops,
+            edge_balance=getattr(args, "edge_balance", False),
         ),
         train=pg.TrainConfig(
             lr=args.lr,
