@@ -19,9 +19,13 @@ _CHUNK_ROWS = 1 << 17
 
 
 def chunked_take(table: jax.Array, ids: jax.Array, *,
-                 chunk: int = _CHUNK_ROWS) -> jax.Array:
+                 chunk: int = None) -> jax.Array:
     """``jnp.take(table, ids, axis=0)``, split into sequential chunks when
-    ``ids`` is large (static shapes; the split is a trace-time decision)."""
+    ``ids`` is large (static shapes; the split is a trace-time decision).
+    ``chunk=None`` reads the module-level ``_CHUNK_ROWS`` at call time
+    (tests shrink it to drive the chunked path at toy shapes)."""
+    if chunk is None:
+        chunk = _CHUNK_ROWS
     m = ids.shape[0]
     if m < 2 * chunk:
         return jnp.take(table, ids, axis=0)

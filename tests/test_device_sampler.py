@@ -455,3 +455,33 @@ def test_on_device_gat_gin(learn_ds, arch):
     tr.train(3)
     losses = [m.mean_loss for m in tr.epoch_metrics]
     assert losses[-1] < losses[0], losses
+
+
+def test_chunked_gather_epoch_trajectory_identical(monkeypatch):
+    """Driving the chunked-gather path inside a real on-device epoch (chunk
+    shrunk so toy shapes split) must reproduce the monolithic trajectory
+    bit-for-bit — the split is scheduling, not semantics."""
+    import pagraph_tpu as pg
+    import pagraph_tpu.ops.gather as gather_mod
+    from pagraph_tpu.data.synthetic import synthetic_dataset
+    from pagraph_tpu.train.loop import Trainer
+
+    ds = synthetic_dataset(num_nodes=500, num_edges=4000, feat_dim=16,
+                           num_classes=5, seed=3, learnable=True)
+
+    def run():
+        cfg = pg.Config(
+            model=pg.ModelConfig(arch="graphsage", n_layers=1, hidden=8,
+                                 feat_dim=16, n_classes=5),
+            sampler=pg.SamplerConfig(batch_size=64, fanout=2, num_hops=2,
+                                     seed=1),
+            train=pg.TrainConfig(lr=1e-2, on_device_sampling=True),
+        )
+        tr = Trainer.from_dataset(cfg, ds, seed=0)
+        tr.train(2)
+        return [m.mean_loss for m in tr.epoch_metrics]
+
+    base = run()
+    monkeypatch.setattr(gather_mod, "_CHUNK_ROWS", 64)   # cap0=576 -> splits
+    chunked = run()
+    np.testing.assert_array_equal(base, chunked)
