@@ -46,6 +46,12 @@ def main():
     p.add_argument("--edge-balance", action="store_true",
                    help="dg: balance partition edge footprints (in_deg+1 "
                         "weights) — the skew mitigation under audit here")
+    p.add_argument("--hops", type=int, default=1,
+                   help="partition closure depth == sampled hops (model "
+                        "gets hops+1 GNN layers under preprocess). hops=2 "
+                        "at power-law scale makes every closure ~the whole "
+                        "graph — the audit shows WHY the reference "
+                        "defaults to 1 hop + preprocess")
     args = p.parse_args()
 
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -91,7 +97,7 @@ def main():
 
     # --- partition (the SURVEY §7 "dg scalability" hard part) --------------
     t0 = time.time()
-    hops = 1     # reference headline: --num-hops 1 + preprocess
+    hops = args.hops     # reference headline: --num-hops 1 + preprocess
     if args.method == "dg":
         parts = dg_partition(ds.graph, ds.train_nids, ds.labels,
                              args.parts, hops,
@@ -108,7 +114,7 @@ def main():
         f"replication {pstats['replication_factor']:.2f}")
 
     # --- edge-mode trainer on the virtual mesh ------------------------------
-    m = pg.ModelConfig(arch="graphsage", n_layers=1, hidden=16,
+    m = pg.ModelConfig(arch="graphsage", n_layers=hops, hidden=16,
                        feat_dim=args.feat, n_classes=47, preprocess=True)
     cfg = pg.Config(
         model=m,
