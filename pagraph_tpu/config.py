@@ -182,6 +182,11 @@ class TrainConfig:
                                       # reference's small batch shapes;
                                       # unrolling lets XLA overlap fusions
                                       # across adjacent steps)
+    halo_slack: float = 1.5           # ici/edge modes: static halo width =
+                                      # slack * cap0/P (bucketed). Raise it
+                                      # when the halo-drop warning fires
+                                      # (skewed ownership or deep-fanout
+                                      # batches can overflow the default)
     halo_pipeline: bool = False       # edge mode: sample + halo-exchange
                                       # batch i+1 inside batch i's scan step
                                       # so the all_to_all is dataflow-
@@ -258,6 +263,8 @@ class Config:
             raise ValueError(
                 "lr_schedule='cosine' needs lr_decay_steps > 0 "
                 "(total optimizer steps of the planned run)")
+        if t.halo_slack < 1.0:
+            raise ValueError("train.halo_slack must be >= 1.0")
         if t.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"train.dtype must be float32|bfloat16, "
                              f"got {t.dtype!r}")

@@ -476,7 +476,8 @@ class DataParallelTrainer:
         cap0 = self.cfg.sampler.batch_size
         for f in self.cfg.sampler.hop_fanouts():
             cap0 *= f + 1
-        self._halo_width = halo_width_for(cap0, D)
+        self._halo_width = halo_width_for(
+            cap0, D, slack=self.cfg.train.halo_slack)
         return n, total_dim, stack_shape
 
     def _init_ici_device_mode(self, offsets, seed, field_names) -> None:
@@ -554,7 +555,8 @@ class DataParallelTrainer:
 
         D = self.mesh.devices.size
         n, total_dim, stack_shape = self._shard_full_features(field_names)
-        self._halo_width = halo_width_for(self.caps[0], D)
+        self._halo_width = halo_width_for(
+            self.caps[0], D, slack=self.cfg.train.halo_slack)
         self._planner = HaloPlanner(D, self._shard_rows, self._halo_width)
         self.halo_drops = 0
         if self.log:
@@ -776,8 +778,8 @@ class DataParallelTrainer:
         warnings.warn(
             f"epoch {epoch}: {drops} halo requests overflowed the static "
             f"halo width {self._halo_width} and trained on zeroed features "
-            f"— raise the width (parallel/halo.halo_width_for slack) or "
-            f"rebalance partitions",
+            f"— raise cfg.train.halo_slack (currently "
+            f"{self.cfg.train.halo_slack}) or rebalance partitions",
             RuntimeWarning,
             stacklevel=3,
         )

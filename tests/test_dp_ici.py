@@ -193,3 +193,26 @@ def test_edge_mode_gat_gin(learn_ds, arch):
     losses = [e.mean_loss for e in tr.epoch_metrics]
     assert losses[-1] < losses[0], losses
     assert tr.halo_drops == 0
+
+
+def test_halo_slack_config_knob(learn_ds):
+    """train.halo_slack widens the static halo width (the knob the drop
+    warning points at); slack < 1 is rejected by Config.validate.  (At toy
+    shapes the power-of-two bucketing can saturate, so the trainer check is
+    >=; the raw heuristic is strictly monotone.)"""
+    from pagraph_tpu.parallel.halo import halo_width_for
+
+    assert halo_width_for(100_000, 8, slack=3.0) > halo_width_for(
+        100_000, 8, slack=1.0)
+    cfg_hi = _cfg_device()
+    cfg_hi.train.halo_slack = 8.0
+    tr_hi = DataParallelTrainer.from_dataset(
+        cfg_hi, learn_ds, mesh=make_mesh(4), seed=0, feature_source="edge")
+    tr_lo = DataParallelTrainer.from_dataset(
+        _cfg_device(), learn_ds, mesh=make_mesh(4), seed=0,
+        feature_source="edge")
+    assert tr_hi._halo_width >= tr_lo._halo_width
+    with pytest.raises(ValueError, match="halo_slack"):
+        bad = _cfg_device()
+        bad.train.halo_slack = 0.5
+        bad.validate()
