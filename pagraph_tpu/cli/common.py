@@ -52,6 +52,12 @@ def add_sampler_flags(p: argparse.ArgumentParser) -> None:
 def add_cache_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-cache", action="store_true",
                    help="disable the HBM feature cache (DGL-baseline mode)")
+    p.add_argument("--cache-dtype", choices=["float32", "bfloat16", "int8"],
+                   default="float32",
+                   help="feature storage dtype: bfloat16 halves cache HBM / "
+                        "miss H2D / ICI halo bytes, int8 quarters them "
+                        "(per-column symmetric quantization; dequant is "
+                        "fused into the first consumer inside jit)")
     p.add_argument("--cache-capacity", type=int, default=0,
                    help="vertices; 0 = auto-size from free HBM")
 
@@ -138,6 +144,7 @@ def build_config(args, *, feat_dim: int, n_classes: int) -> pg.Config:
         cache=pg.CacheConfig(
             enabled=not args.no_cache,
             capacity=args.cache_capacity or None,
+            dtype=getattr(args, "cache_dtype", "float32"),
         ),
         partition=pg.PartitionConfig(
             num_parts=getattr(args, "partition", 1),

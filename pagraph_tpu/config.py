@@ -134,7 +134,10 @@ class CacheConfig:
     track_stats: bool = True
     dtype: str = "float32"            # feature storage dtype; "bfloat16"
                                       # halves cache HBM, miss-path H2D and
-                                      # ICI halo traffic (compute stays f32)
+                                      # ICI halo traffic (compute stays f32);
+                                      # "int8" quarters them (per-column
+                                      # symmetric quantization, dequant fused
+                                      # into the first consumer inside jit)
 
 
 @dataclasses.dataclass
@@ -268,8 +271,8 @@ class Config:
         if t.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"train.dtype must be float32|bfloat16, "
                              f"got {t.dtype!r}")
-        if self.cache.dtype not in ("float32", "bfloat16"):
-            raise ValueError(f"cache.dtype must be float32|bfloat16, "
+        if self.cache.dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(f"cache.dtype must be float32|bfloat16|int8, "
                              f"got {self.cache.dtype!r}")
         if t.on_device_sampling:
             if t.remote_sampling:

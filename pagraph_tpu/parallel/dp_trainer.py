@@ -238,13 +238,17 @@ class DataParallelTrainer:
             self._init_device_mode(offsets, seed)
         elif feature_source == "ici":
             from .train_step import make_dp_halo_train_step
+            # shard first: _shard_full_features computes _exchange_scale
+            self._init_ici_features(field_names)
             self.step_fn = make_dp_halo_train_step(
                 cfg, self._tx, self.mesh,
                 offsets["features"], offsets.get("neigh"),
+                dequant_scale=self._exchange_scale,
             )
-            self._init_ici_features(field_names)
         else:
-            self.step_fn = make_dp_train_step(cfg, self._tx, self.mesh, offsets)
+            self.step_fn = make_dp_train_step(
+                cfg, self._tx, self.mesh, offsets,
+                dequant_scale=self.caches[0].dequant_scale_padded)
         self.timers = PhaseTimers()
         self.epoch_metrics: List[EpochMetrics] = []
         # host-pipeline multi-process: this process samples/packs only the
@@ -320,7 +324,9 @@ class DataParallelTrainer:
             self._init_dp_cv(offsets, max_n, max_e, put)
         else:
             self.epoch_fn = make_dp_device_epoch_fn(
-                self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches
+                self.cfg, self._tx, self.mesh, offsets,
+                self._dev_num_batches,
+                dequant_scale=self.caches[0].dequant_scale_padded,
             )
         self._set_epoch_key(seed)
 
@@ -351,11 +357,13 @@ class DataParallelTrainer:
                 self.cfg, self._tx, self.mesh, offsets,
                 self._dev_num_batches, max_n, self._shard_rows,
                 self._halo_width,
+                dequant_scale=self._exchange_scale,
             )
         else:
             self.epoch_fn = make_edge_device_epoch_fn(
                 self.cfg, self._tx, self.mesh, offsets,
                 self._dev_num_batches, self._shard_rows, self._halo_width,
+                dequant_scale=self._exchange_scale,
             )
         self._set_epoch_key(seed)
         self.halo_drops = 0
@@ -363,7 +371,8 @@ class DataParallelTrainer:
             struct_mb = (self._dev_indptr.nbytes
                          + self._dev_indices.nbytes) / D / 1e6
             feat_mb = np.prod(stack_shape[1:]) * (
-                2 if self.cfg.cache.dtype == "bfloat16" else 4) / 1e6
+                {"bfloat16": 2, "int8": 1}.get(self.cfg.cache.dtype, 4)
+            ) / 1e6
             print(f"[edge-device] per-chip structure {struct_mb:.1f} MB "
                   f"(max_e={max_e}, edge skew max/mean "
                   f"{self.structure_skew:.2f}), features {n} x {total_dim} "
@@ -380,6 +389,7 @@ class DataParallelTrainer:
         self.epoch_fn = make_dp_cv_device_epoch_fn(
             self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches,
             max_n,
+            dequant_scale=self.caches[0].dequant_scale_padded,
         )
 
     def _build_cv_state(self, max_n: int, max_e: int, put) -> None:
@@ -447,8 +457,17 @@ class DataParallelTrainer:
         if self.cfg.cache.dtype == "bfloat16":
             import ml_dtypes
             fdtype = ml_dtypes.bfloat16
+        elif self.cfg.cache.dtype == "int8":
+            fdtype = np.int8
         else:
             fdtype = np.float32
+        # int8 tier: shard rows quantized with the store-wide per-column
+        # scale (computed once by the FeatureCaches at construction);
+        # dequant happens after the halo exchange, so ICI moves 1-byte rows
+        quant = self.caches[0].dequant_scale
+        self._exchange_scale = (
+            np.pad(quant, (0, dim - total_dim), constant_values=1.0)
+            if quant is not None else None)
         if self._mp:
             # host-DRAM tier at multi-host scale: each process gathers ONLY
             # the feature rows its chips own (cyclic: owner(v) = v % P,
@@ -458,6 +477,9 @@ class DataParallelTrainer:
             def feat_row(r: int) -> np.ndarray:
                 mine = np.arange(r, n, D, dtype=np.int64)
                 f = self.store.gather(field_names, mine)
+                if quant is not None:
+                    from ..storage.cache import quantize_rows
+                    f = quantize_rows(f, quant)
                 out = np.zeros((shard_rows, dim), dtype=fdtype)
                 out[: len(mine), : f.shape[1]] = f
                 return out
@@ -467,7 +489,12 @@ class DataParallelTrainer:
             stack_shape = (D, shard_rows, dim)
         else:
             fused = self.store.gather(
-                field_names, np.arange(n, dtype=np.int64)).astype(fdtype)
+                field_names, np.arange(n, dtype=np.int64))
+            if quant is not None:
+                from ..storage.cache import quantize_rows
+                fused = quantize_rows(fused, quant)
+            else:
+                fused = fused.astype(fdtype)
             if dim > fused.shape[1]:
                 fused = np.pad(fused, ((0, 0), (0, dim - fused.shape[1])))
             stack, self._shard_rows = shard_features(fused, D)
@@ -504,6 +531,7 @@ class DataParallelTrainer:
         self.epoch_fn = make_ici_device_epoch_fn(
             self.cfg, self._tx, self.mesh, offsets, self._dev_num_batches,
             self._shard_rows, self._halo_width,
+            dequant_scale=self._exchange_scale,
         )
         self._set_epoch_key(seed)
         self.halo_drops = 0

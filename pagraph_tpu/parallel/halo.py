@@ -150,4 +150,7 @@ def exchange_features(
     # 5. batch order
     flat = recv.reshape(-1, recv.shape[-1])    # [P*H, D]
     feats = jnp.take(flat, plan.slot, axis=0)
-    return jnp.where(plan.valid[:, None], feats, 0.0)
+    # zero literal in the shard's own dtype: a weak-typed 0.0 would promote
+    # an int8 exchange result to f32 right after the 1-byte collective
+    return jnp.where(plan.valid[:, None], feats,
+                     jnp.zeros((), feats.dtype))

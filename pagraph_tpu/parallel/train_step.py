@@ -22,7 +22,7 @@ from jax import shard_map
 
 from ..config import Config
 from ..models import get_model
-from ..storage.cache import FetchPlan, assemble_features
+from ..storage.cache import FetchPlan, assemble_features, dequantize_fused
 from ..train.objective import masked_accuracy, masked_cross_entropy
 from ..train.state import TrainState, cast_apply, compute_dtype
 
@@ -33,6 +33,7 @@ def make_dp_train_step(
     mesh: Mesh,
     field_offsets: dict,
     axis: str = "dp",
+    dequant_scale=None,
 ) -> Callable:
     """Build step(state, mb_stacked, plan_stacked, cache_stacked) -> (state, metrics).
 
@@ -66,7 +67,7 @@ def make_dp_train_step(
             )
         else:
             fused = assemble_features(cache_values, plan)
-        fused = fused.astype(jnp.float32)
+        fused = dequantize_fused(fused, dequant_scale)
         feats = fused[:, feat_slice]
 
         def loss_fn(params):
@@ -123,6 +124,7 @@ def make_dp_halo_train_step(
     feat_slice: slice,
     neigh_slice: Optional[slice] = None,
     axis: str = "dp",
+    dequant_scale=None,
 ) -> Callable:
     """DP step with ICI-distributed features: instead of the HBM cache +
     host-miss FetchPlan, batch features arrive via a chip-to-chip
@@ -147,7 +149,8 @@ def make_dp_halo_train_step(
         rng, sub = jax.random.split(state.rng)
         sub = jax.random.fold_in(sub, my_rank)
 
-        fused = exchange_features(feat_shard[0], plan, axis).astype(jnp.float32)
+        fused = dequantize_fused(exchange_features(feat_shard[0], plan, axis),
+                                 dequant_scale)
         feats = fused[:, feat_slice]
 
         def loss_fn(params):

@@ -34,6 +34,46 @@ from ..graph import CSRGraph
 from .feature_store import FeatureStore
 
 
+def compute_dequant_scale(store: FeatureStore, field_names: Sequence[str],
+                          chunk: int = 1 << 20) -> np.ndarray:
+    """Per-column symmetric int8 scale over the FULL store: ``maxabs/127``
+    per fused column (zero-variance columns get scale 1 so they quantize to
+    exact 0).  One sequential chunked pass — memmap-friendly, so it works at
+    store sizes that dwarf RAM.  The scale is store-wide (not cache-subset)
+    so cached rows and miss rows dequantize identically."""
+    maxabs = np.zeros(store.total_dim(field_names), dtype=np.float32)
+    offs = store.field_offsets(field_names)
+    for name in field_names:
+        f = store.fields[name]
+        sl = offs[name]
+        for at in range(0, f.shape[0], chunk):
+            m = np.max(np.abs(f[at:at + chunk].astype(np.float32)), axis=0)
+            np.maximum(maxabs[sl], m, out=maxabs[sl])
+    scale = maxabs / 127.0
+    scale[scale == 0.0] = 1.0
+    return scale
+
+
+def quantize_rows(rows: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """f32 rows -> int8 with the per-column ``scale`` (round-to-nearest,
+    clipped to [-127, 127]; -128 unused to keep the scheme symmetric)."""
+    q = np.rint(np.asarray(rows, dtype=np.float32) / scale[None, :])
+    return np.clip(q, -127, 127).astype(np.int8)
+
+
+def dequantize_fused(fused: jax.Array,
+                     scale: Optional[np.ndarray] = None) -> jax.Array:
+    """Jit-side fused-row promotion to f32.  For the int8 tier ``scale`` is
+    the per-column dequant vector (length == fused width, possibly lane-
+    padded with 1s); for f32/bf16 tiers it is None and this is a plain cast.
+    XLA fuses the multiply into the gather's consumer, so the int8 tier pays
+    no extra memory pass."""
+    f = fused.astype(jnp.float32)
+    if scale is not None:
+        f = f * jnp.asarray(scale, dtype=jnp.float32)[None, :]
+    return f
+
+
 def bucket_size(n: int, cap: int, min_bucket: int = 512) -> int:
     """Round a miss count up to a power-of-two bucket (bounded recompiles)."""
     if n <= 0:
@@ -106,10 +146,12 @@ class FeatureCache:
         read ``cache_values`` directly (the on-device paths) — the hit/miss
         assembly paths expect unpadded ``total_dim`` rows."""
         import ml_dtypes
-        self.np_dtype = (
-            np.dtype(ml_dtypes.bfloat16) if dtype == "bfloat16"
-            else np.dtype(np.float32)
-        )
+        if dtype == "bfloat16":
+            self.np_dtype = np.dtype(ml_dtypes.bfloat16)
+        elif dtype == "int8":
+            self.np_dtype = np.dtype(np.int8)
+        else:
+            self.np_dtype = np.dtype(np.float32)
         self.store = store
         self.field_names = list(field_names)
         self.graph = local_graph
@@ -122,6 +164,17 @@ class FeatureCache:
         self.total_dim = store.total_dim(self.field_names)
         self.padded_dim = -(-self.total_dim // pad_dim_to) * pad_dim_to
         self.field_offsets = store.field_offsets(self.field_names)
+        # int8 tier: store-wide per-column scale, computed ONCE at cache
+        # construction (capacity-independent, so misses and cached rows share
+        # it and step/epoch builders can close over it before fill())
+        if self.np_dtype == np.int8:
+            self.dequant_scale = compute_dequant_scale(store, self.field_names)
+            self.dequant_scale_padded = np.pad(
+                self.dequant_scale, (0, self.padded_dim - self.total_dim),
+                constant_values=1.0)
+        else:
+            self.dequant_scale = None
+            self.dequant_scale_padded = None
         n = local_graph.num_nodes
         # residency map: local id -> cache row, or -1
         self.cache_map = np.full(n, -1, dtype=np.int32)
@@ -178,7 +231,8 @@ class FeatureCache:
         if capacity == 0:
             self.cache_values = jnp.zeros(
                 (1, self.padded_dim),
-                dtype=jnp.bfloat16 if self.np_dtype.itemsize == 2 else jnp.float32,
+                dtype={1: jnp.int8, 2: jnp.bfloat16}.get(
+                    self.np_dtype.itemsize, jnp.float32),
             )
             self.cache_map[:] = -1
             self._sync_map_dev()
@@ -190,7 +244,9 @@ class FeatureCache:
         self.cache_map[:] = -1
         self.cache_map[chosen] = np.arange(len(chosen), dtype=np.int32)
         host_rows = self.store.gather(self.field_names, self.local2full[chosen])
-        if host_rows.dtype != self.np_dtype:
+        if self.np_dtype == np.int8:
+            host_rows = quantize_rows(host_rows, self.dequant_scale)
+        elif host_rows.dtype != self.np_dtype:
             host_rows = host_rows.astype(self.np_dtype)
         if self.padded_dim > self.total_dim:
             host_rows = np.pad(
@@ -245,6 +301,12 @@ class FeatureCache:
                     self.field_names,
                     self.local2full[nids[miss_idx]],
                     out=miss_feats[:n_miss],
+                )
+            elif self.np_dtype == np.int8:
+                miss_feats[:n_miss] = quantize_rows(
+                    self.store.gather(self.field_names,
+                                      self.local2full[nids[miss_idx]]),
+                    self.dequant_scale,
                 )
             else:
                 miss_feats[:n_miss] = self.store.gather(

@@ -25,6 +25,7 @@ import optax
 from ..config import Config
 from ..models import get_model
 from ..ops.gather import chunked_take
+from ..storage.cache import dequantize_fused
 from ..sampling.device_sampler import DeviceCSR, sample_minibatch_device
 from .objective import masked_accuracy, masked_cross_entropy
 from .state import TrainState, cast_apply, compute_dtype
@@ -34,7 +35,8 @@ METRIC_NAMES = ("loss_sum", "acc_sum", "steps", "edges", "vertices")
 
 
 def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
-                         field_offsets: dict) -> Callable:
+                         field_offsets: dict,
+                         dequant_scale=None) -> Callable:
     """Build the jitted epoch function.
 
     Signature::
@@ -89,8 +91,8 @@ def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                 paired=paired,
             )
             rng, sub = jax.random.split(state.rng)
-            fused = chunked_take(cache_values, mb.input_nids
-                                 ).astype(jnp.float32)
+            fused = dequantize_fused(
+                chunked_take(cache_values, mb.input_nids), dequant_scale)
             feats = fused[:, feat_slice]
 
             def loss_fn(params):
@@ -128,7 +130,8 @@ def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
 
 def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                             mesh, field_offsets: dict, num_batches: int,
-                            axis: str = "dp") -> Callable:
+                            axis: str = "dp",
+                            dequant_scale=None) -> Callable:
     """Multi-chip whole-epoch on-device training.
 
     Each mesh coordinate owns one self-reliant partition: its CSR, full
@@ -204,8 +207,8 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
             )
             rng, sub = jax.random.split(state.rng)
             sub = jax.random.fold_in(sub, rank)
-            fused = chunked_take(cache_values, mb.input_nids
-                                 ).astype(jnp.float32)
+            fused = dequantize_fused(
+                chunked_take(cache_values, mb.input_nids), dequant_scale)
             feats = fused[:, feat_slice]
 
             def loss_fn(params):
@@ -262,7 +265,8 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
 def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                              mesh, field_offsets: dict, num_batches: int,
                              shard_rows: int, halo_width: int,
-                             axis: str = "dp") -> Callable:
+                             axis: str = "dp",
+                             dequant_scale=None) -> Callable:
     """On-device sampling over the FULL graph + ICI-sharded features.
 
     The memory-scalable multi-chip mode: every chip replicates the (cheap)
@@ -342,8 +346,8 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
             sub = jax.random.fold_in(sub, rank)
             plan = device_halo_plan(mb.input_nids, mb.input_mask,
                                     shard_rows, D, halo_width)
-            fused = exchange_features(feat_shard, plan, axis
-                                      ).astype(jnp.float32)
+            fused = dequantize_fused(
+                exchange_features(feat_shard, plan, axis), dequant_scale)
             feats = fused[:, feat_slice]
             drops = (jnp.logical_and(mb.input_mask, ~plan.valid)
                      ).sum().astype(jnp.float32)
@@ -402,7 +406,8 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
 def make_edge_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                               mesh, field_offsets: dict, num_batches: int,
                               shard_rows: int, halo_width: int,
-                              axis: str = "dp") -> Callable:
+                              axis: str = "dp",
+                              dequant_scale=None) -> Callable:
     """EDGE-PARTITIONED on-device training: per-chip partition CSR +
     ICI-sharded features — the memory-scalable composition of
     :func:`make_dp_device_epoch_fn` (each chip samples ITS self-reliant
@@ -488,8 +493,8 @@ def make_edge_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
             full_ids = jnp.take(local2full, mb.input_nids)
             plan = device_halo_plan(full_ids, mb.input_mask,
                                     shard_rows, D, halo_width)
-            fused = exchange_features(feat_shard, plan, axis
-                                      ).astype(jnp.float32)
+            fused = dequantize_fused(
+                exchange_features(feat_shard, plan, axis), dequant_scale)
             drops = (jnp.logical_and(mb.input_mask, ~plan.valid)
                      ).sum().astype(jnp.float32)
             return mb, fused, drops
@@ -583,7 +588,8 @@ def make_edge_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
 
 def make_dp_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                                mesh, field_offsets: dict, num_batches: int,
-                               max_nodes: int, axis: str = "dp") -> Callable:
+                               max_nodes: int, axis: str = "dp",
+                               dequant_scale=None) -> Callable:
     """Multi-chip whole-epoch control-variate GCN (gcn_cvsc.py semantics).
 
     The dp composition of :func:`make_dp_device_epoch_fn` (per-partition
@@ -650,8 +656,8 @@ def make_dp_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
             )
             rng, sub = jax.random.split(state.rng)
             sub = jax.random.fold_in(sub, rank)
-            fused = chunked_take(cache_values, mb.input_nids
-                                 ).astype(jnp.float32)
+            fused = dequantize_fused(
+                chunked_take(cache_values, mb.input_nids), dequant_scale)
             feats = fused[:, feat_slice]
             h_hist = [jnp.take(hists[b], mb.layer_nids[b], axis=0)
                       for b in range(hops)]
@@ -733,7 +739,8 @@ def make_edge_cv_device_epoch_fn(cfg: Config,
                                  mesh, field_offsets: dict, num_batches: int,
                                  max_nodes: int, shard_rows: int,
                                  halo_width: int,
-                                 axis: str = "dp") -> Callable:
+                                 axis: str = "dp",
+                                 dequant_scale=None) -> Callable:
     """Control-variate GCN x EDGE-PARTITIONED mode — the last empty
     model x mode cell (VERDICT r2 #8).
 
@@ -811,8 +818,8 @@ def make_edge_cv_device_epoch_fn(cfg: Config,
             full_ids = jnp.take(local2full, mb.input_nids)
             plan = device_halo_plan(full_ids, mb.input_mask,
                                     shard_rows, D, halo_width)
-            fused = exchange_features(feat_shard, plan, axis
-                                      ).astype(jnp.float32)
+            fused = dequantize_fused(
+                exchange_features(feat_shard, plan, axis), dequant_scale)
             drops = (jnp.logical_and(mb.input_mask, ~plan.valid)
                      ).sum().astype(jnp.float32)
             feats = fused[:, feat_slice]
@@ -894,7 +901,8 @@ def make_edge_cv_device_epoch_fn(cfg: Config,
 
 
 def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
-                            field_offsets: dict, num_nodes: int) -> Callable:
+                            field_offsets: dict, num_nodes: int,
+                            dequant_scale=None) -> Callable:
     """Whole-epoch on-device control-variate GCN.
 
     The reference's CV model stashes history tensors in NodeFlow frames that
@@ -952,8 +960,8 @@ def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                 paired=paired,
             )
             rng, sub = jax.random.split(state.rng)
-            fused = chunked_take(cache_values, mb.input_nids
-                                 ).astype(jnp.float32)
+            fused = dequantize_fused(
+                chunked_take(cache_values, mb.input_nids), dequant_scale)
             feats = fused[:, feat_slice]
             h_hist = [jnp.take(hists[b], mb.layer_nids[b], axis=0)
                       for b in range(hops)]

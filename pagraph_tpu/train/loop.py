@@ -137,11 +137,13 @@ class Trainer:
                     (1.0 / np.maximum(local_graph.in_degrees, 1)
                      ).astype(np.float32))
                 self.epoch_fn = make_cv_device_epoch_fn(
-                    cfg, self._tx, self.cache.field_offsets, n
+                    cfg, self._tx, self.cache.field_offsets, n,
+                    dequant_scale=self.cache.dequant_scale_padded,
                 )
             else:
                 self.epoch_fn = make_device_epoch_fn(
-                    cfg, self._tx, self.cache.field_offsets
+                    cfg, self._tx, self.cache.field_offsets,
+                    dequant_scale=self.cache.dequant_scale_padded,
                 )
             self._epoch_key = jax.random.PRNGKey(seed ^ 0x5EED)
             self.timers = PhaseTimers()
@@ -181,7 +183,8 @@ class Trainer:
             self.cv_history = CVHistory(cfg.model, local_graph,
                                         local_graph.num_nodes)
             self.step_fn = make_cv_train_step(
-                cfg, self._tx, self.cache.field_offsets
+                cfg, self._tx, self.cache.field_offsets,
+                dequant_scale=self.cache.dequant_scale_padded,
             )
         else:
             from .state import make_multistep_train_step, make_packed_train_step
@@ -190,10 +193,12 @@ class Trainer:
             if self._group > 1:
                 self.loader.host_output = True
                 self.multistep_fn = make_multistep_train_step(
-                    cfg, self._tx, self.cache.field_offsets
+                    cfg, self._tx, self.cache.field_offsets,
+                    dequant_scale=self.cache.dequant_scale_padded,
                 )
             self.step_fn = make_packed_train_step(
-                cfg, self._tx, self.cache.field_offsets
+                cfg, self._tx, self.cache.field_offsets,
+                dequant_scale=self.cache.dequant_scale_padded,
             )
         self.timers = PhaseTimers()
         self._cache_filled = False
@@ -237,7 +242,8 @@ class Trainer:
                 f"on_device_sampling needs the full feature set in HBM: "
                 f"capacity {self.cache.capacity} < "
                 f"{self.cache.graph.num_nodes} vertices. Lower feat_dim, "
-                f"use cache.dtype='bfloat16', or partition across chips."
+                f"use cache.dtype='bfloat16' (or 'int8'), or partition "
+                f"across chips."
             )
         self._cache_filled = True
         if self.log:

@@ -18,7 +18,7 @@ import optax
 from ..config import Config
 from ..models import get_model
 from ..sampling.block import MiniBatch
-from ..storage.cache import FetchPlan, assemble_features
+from ..storage.cache import FetchPlan, assemble_features, dequantize_fused
 from .objective import masked_accuracy, masked_cross_entropy
 
 
@@ -133,7 +133,8 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation) -> Callable:
 
 
 def make_packed_train_step(cfg: Config, tx: optax.GradientTransformation,
-                           field_offsets: dict) -> Callable:
+                           field_offsets: dict,
+                           dequant_scale=None) -> Callable:
     """Packed-transfer step: consumes the 3 flat buffers from
     ``sampling.pack`` plus a device-side metrics accumulator, so the host
     never syncs inside an epoch (metrics are fetched once at epoch end).
@@ -163,7 +164,7 @@ def make_packed_train_step(cfg: Config, tx: optax.GradientTransformation,
             )
         else:
             fused = assemble_features(cache_values, plan)
-        fused = fused.astype(jnp.float32)
+        fused = dequantize_fused(fused, dequant_scale)
         feats = fused[:, feat_slice]
 
         def loss_fn(params):
@@ -188,7 +189,8 @@ def make_packed_train_step(cfg: Config, tx: optax.GradientTransformation,
 
 
 def make_multistep_train_step(cfg: Config, tx: optax.GradientTransformation,
-                              field_offsets: dict) -> Callable:
+                              field_offsets: dict,
+                              dequant_scale=None) -> Callable:
     """K training steps per dispatch: consumes [K, ...] stacked packed
     buffers and runs a ``lax.scan`` over them inside one compiled call.
     Amortizes per-dispatch host/tunnel latency K-fold; identical math to
@@ -213,9 +215,9 @@ def make_multistep_train_step(cfg: Config, tx: optax.GradientTransformation,
             i32_k, u8_k, f32_k = xs
             mb, _ = unpack(layout, i32_k, u8_k, f32_k)
             rng, sub = jax.random.split(state.rng)
-            fused = assemble_features_from_map(
+            fused = dequantize_fused(assemble_features_from_map(
                 cache_values, cache_map, mb.input_nids, mb.input_mask, f32_k
-            ).astype(jnp.float32)
+            ), dequant_scale)
             feats = fused[:, feat_slice]
 
             def loss_fn(params):
@@ -246,7 +248,8 @@ def make_multistep_train_step(cfg: Config, tx: optax.GradientTransformation,
 
 
 def make_cv_train_step(cfg: Config, tx: optax.GradientTransformation,
-                       field_offsets: dict) -> Callable:
+                       field_offsets: dict,
+                       dequant_scale=None) -> Callable:
     """Control-variate GCN step: consumes per-layer history slices, returns
     fresh histories for scatter-back (see models/gcn_cv.py)."""
     from ..models import gcn_cv
@@ -258,7 +261,8 @@ def make_cv_train_step(cfg: Config, tx: optax.GradientTransformation,
     def train_step(state: TrainState, mb: MiniBatch, plan: FetchPlan,
                    cache_values: jax.Array, h_hist, agg_hist):
         rng, sub = jax.random.split(state.rng)
-        fused = assemble_features(cache_values, plan)
+        fused = dequantize_fused(assemble_features(cache_values, plan),
+                                 dequant_scale)
         feats = fused[:, feat_slice]
 
         def loss_fn(params):
@@ -283,7 +287,8 @@ def make_cv_train_step(cfg: Config, tx: optax.GradientTransformation,
 
 
 def make_cached_train_step(cfg: Config, tx: optax.GradientTransformation,
-                           field_offsets: dict) -> Callable:
+                           field_offsets: dict,
+                           dequant_scale=None) -> Callable:
     """Train step consuming a cache :class:`FetchPlan` instead of raw
     features: assembles the fused [cap0, total_dim] feature block inside jit
     from the HBM cache + the transferred miss rows, then slices model fields.
@@ -302,7 +307,8 @@ def make_cached_train_step(cfg: Config, tx: optax.GradientTransformation,
     def train_step(state: TrainState, mb: MiniBatch, plan: FetchPlan,
                    cache_values: jax.Array):
         rng, sub = jax.random.split(state.rng)
-        fused = assemble_features(cache_values, plan)
+        fused = dequantize_fused(assemble_features(cache_values, plan),
+                                 dequant_scale)
         feats = fused[:, feat_slice]
 
         def loss_fn(params):
