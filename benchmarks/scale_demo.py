@@ -46,7 +46,15 @@ def main():
     p.add_argument("--batch-size", type=int, default=6000)
     p.add_argument("--cache-frac", type=float, default=0.0,
                    help="0 = auto-size from HBM budget")
-    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="alias for --cache-dtype bfloat16")
+    p.add_argument("--cache-dtype", default=None,
+                   choices=["float32", "bfloat16", "int8"],
+                   help="feature tier dtype; int8 quarters feature HBM "
+                        "(the rmat25-on-one-chip enabler)")
+    p.add_argument("--paired", action="store_true",
+                   help="paired row-gather draws (adds the [E/8,8] row "
+                        "table to HBM: +E*4 bytes)")
     p.add_argument("--on-device", action="store_true",
                    help="in-HBM regime instead: whole-epoch on-device "
                         "training (use with --feat small enough to cache)")
@@ -62,6 +70,8 @@ def main():
     p.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args()
 
+    args.cache_dtype = args.cache_dtype or (
+        "bfloat16" if args.bf16 else "float32")
     if args.multihost:
         return _multihost_parent(args)
 
@@ -155,10 +165,11 @@ def main():
         model=pg.ModelConfig(arch="graphsage", n_layers=1, hidden=16,
                              feat_dim=args.feat, n_classes=47),
         sampler=pg.SamplerConfig(batch_size=args.batch_size, fanout=2,
-                                 num_hops=2, prefetch=3),
+                                 num_hops=2, prefetch=3,
+                                 paired_draws=args.paired),
         cache=pg.CacheConfig(
             capacity=(int(n * args.cache_frac) if args.cache_frac else None),
-            dtype="bfloat16" if args.bf16 else "float32",
+            dtype=args.cache_dtype,
         ),
         train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
                              on_device_sampling=args.on_device),
@@ -174,8 +185,9 @@ def main():
         "detail": {
             "workload": f"graphsage rmat{args.scale} "
                         f"({n:,} v, {graph.num_edges:,} e, "
-                        f"feat {feat_gb:.1f}GB "
-                        f"{'on-device' if args.on_device else 'host tier'})",
+                        f"feat {feat_gb:.1f}GB {args.cache_dtype} "
+                        f"{'on-device' if args.on_device else 'host tier'}"
+                        f"{' paired' if args.paired else ''})",
             "cache_capacity_vertices": tr.cache.capacity,
             "cache_frac": round(tr.cache.capacity / n, 3),
             "hit_rate": round(1.0 - tr.epoch_metrics[-1].miss_rate, 4),
@@ -201,7 +213,8 @@ def _worker_edge_train(args, pg, ds, n, feat_gb):
         sampler=pg.SamplerConfig(batch_size=args.batch_size, fanout=2,
                                  num_hops=2),
         partition=pg.PartitionConfig(num_parts=D, method="hash", num_hops=2),
-        cache=pg.CacheConfig(dtype="bfloat16" if args.bf16 else "float32"),
+        cache=pg.CacheConfig(dtype=getattr(args, "cache_dtype", None)
+                             or ("bfloat16" if args.bf16 else "float32")),
         train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
                              on_device_sampling=True),
     )
