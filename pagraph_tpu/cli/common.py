@@ -76,6 +76,11 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval-every", type=int, default=0,
                    help="validation accuracy via full-neighborhood "
                         "inference every N epochs (0 = off)")
+    p.add_argument("--eval-backend", choices=["host", "device"],
+                   default="host",
+                   help="full-graph inference backend for --eval-every: "
+                        "host scipy SpMM, or chunked edge scatters on the "
+                        "accelerator (much faster at millions of vertices)")
     p.add_argument("--resume", action="store_true",
                    help="continue from the newest checkpoint in --ckpt-dir")
     p.add_argument("--seed", type=int, default=0)
@@ -161,6 +166,7 @@ def build_config(args, *, feat_dim: int, n_classes: int) -> pg.Config:
             ckpt_dir=args.ckpt_dir,
             ckpt_every=args.ckpt_every,
             eval_every=getattr(args, "eval_every", 0),
+            eval_backend=getattr(args, "eval_backend", "host"),
             remote_sampling=getattr(args, "isolate", False),
             on_device_sampling=getattr(args, "on_device", False),
             halo_pipeline=getattr(args, "halo_pipeline", False),

@@ -174,6 +174,11 @@ class TrainConfig:
                                       # over the val mask); 0 = off.  The
                                       # reference only evaluates offline
                                       # (examples/eval.py)
+    eval_backend: str = "host"        # full-graph inference backend:
+                                      # "host" (scipy SpMM aggregation) or
+                                      # "device" (chunked edge scatters on
+                                      # the accelerator — orders of
+                                      # magnitude faster at products scale)
     remote_sampling: bool = False     # isolation mode: sampling in worker procs
     on_device_sampling: bool = False  # sample inside jit; whole epoch = one
                                       # dispatch (needs graph + full feature
@@ -271,6 +276,9 @@ class Config:
         if t.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"train.dtype must be float32|bfloat16, "
                              f"got {t.dtype!r}")
+        if t.eval_backend not in ("host", "device"):
+            raise ValueError(f"train.eval_backend must be host|device, "
+                             f"got {t.eval_backend!r}")
         if self.cache.dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"cache.dtype must be float32|bfloat16|int8, "
                              f"got {self.cache.dtype!r}")

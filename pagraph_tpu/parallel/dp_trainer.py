@@ -1061,7 +1061,8 @@ class DataParallelTrainer:
         params = jax.device_get(self.state.params)
         acc = evaluate(params, self.cfg.model, self._full_graph,
                        feats, self._full_labels,
-                       self._full_val_mask)
+                       self._full_val_mask,
+                       backend=self.cfg.train.eval_backend)
         if self.epoch_metrics:
             self.epoch_metrics[-1].val_acc = acc
         if self.log:

@@ -454,7 +454,8 @@ class Trainer:
 
         graph, feats, labels, mask = self._eval_data
         params = jax.device_get(self.state.params)
-        acc = evaluate(params, self.cfg.model, graph, feats, labels, mask)
+        acc = evaluate(params, self.cfg.model, graph, feats, labels, mask,
+                       backend=self.cfg.train.eval_backend)
         if self.epoch_metrics:
             self.epoch_metrics[-1].val_acc = acc
         if self.log:

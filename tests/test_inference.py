@@ -236,3 +236,25 @@ def test_preprocess_eval_works(learn_ds, arch):
     acc = evaluate(params, cfg.model, learn_ds.graph, learn_ds.features,
                    learn_ds.labels, learn_ds.test_mask)
     assert acc > 1.0 / 5  # beats chance after 2 epochs on a learnable task
+
+
+def test_eval_backend_config_threads_through(learn_ds):
+    """cfg.train.eval_backend='device' routes the online eval through the
+    chunked-edge device backend; val-acc identical to the host backend."""
+    accs = {}
+    for be in ("host", "device"):
+        mcfg = pg.ModelConfig(arch="graphsage", n_layers=1, hidden=12,
+                              feat_dim=16, n_classes=5)
+        cfg = pg.Config(
+            model=mcfg,
+            sampler=pg.SamplerConfig(batch_size=128, fanout=2,
+                                     num_hops=mcfg.num_sampled_hops, seed=3),
+            train=pg.TrainConfig(lr=1e-2, eval_every=2, eval_backend=be),
+        )
+        tr = Trainer.from_dataset(cfg, learn_ds, seed=0)
+        tr.train(2)
+        accs[be] = tr.epoch_metrics[-1].val_acc
+    assert accs["host"] == pytest.approx(accs["device"], abs=1e-9), accs
+    with pytest.raises(ValueError, match="eval_backend"):
+        pg.Config(model=pg.ModelConfig(),
+                  train=pg.TrainConfig(eval_backend="gpu")).validate()
