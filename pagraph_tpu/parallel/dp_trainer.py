@@ -111,6 +111,13 @@ class DataParallelTrainer:
 
         self._device_mode = cfg.train.on_device_sampling
         self._mp = is_multiprocess()
+        if cfg.train.epoch_dispatch == "steps":
+            raise NotImplementedError(
+                "epoch_dispatch='steps' is a single-chip Trainer mode; the "
+                "multi-chip epochs keep the whole-epoch shard_map dispatch "
+                "(per-step dispatch would multiply the host dispatch count "
+                "by num_batches on every chip)"
+            )
         if feature_source == "edge" and not self._device_mode:
             raise NotImplementedError(
                 "feature_source='edge' (partition CSR + ICI-sharded "

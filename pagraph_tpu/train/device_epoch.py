@@ -34,6 +34,83 @@ from .state import TrainState, cast_apply, compute_dtype
 METRIC_NAMES = ("loss_sum", "acc_sum", "steps", "edges", "vertices")
 
 
+def _make_batch_body(cfg: Config, tx: optax.GradientTransformation,
+                     field_offsets: dict, dequant_scale=None) -> Callable:
+    """The shared sample→gather→fwd/bwd→Adam body for ONE minibatch.
+
+    Returns ``body(state, acc, seeds, smask, skey, labels, csr,
+    cache_values) -> (state, acc)``.  Used by both the whole-epoch scan
+    (:func:`make_device_epoch_fn`) and the per-step dispatch variant
+    (:func:`make_device_step_fns`) so the two modes stay trajectory-identical
+    by construction.
+    """
+    _, apply_fn = get_model(cfg.model)
+    apply_fn = cast_apply(apply_fn, compute_dtype(cfg))
+    sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
+    feat_slice = field_offsets["features"]
+    neigh_slice = field_offsets.get("neigh")
+    hops = cfg.sampler.num_hops
+    fanout = cfg.sampler.hop_fanouts()
+    paired = cfg.sampler.paired_draws
+    if not cfg.sampler.include_self:
+        raise ValueError("on-device sampling requires include_self=True")
+
+    def body(state, acc, seeds, smask, skey, labels, csr, cache_values):
+        mb = sample_minibatch_device(
+            csr, seeds, smask, hops, fanout, skey, labels=labels,
+            paired=paired,
+        )
+        rng, sub = jax.random.split(state.rng)
+        fused = dequantize_fused(
+            chunked_take(cache_values, mb.input_nids), dequant_scale)
+        feats = fused[:, feat_slice]
+
+        def loss_fn(params):
+            kwargs = dict(train=True, dropout_rng=sub)
+            if sage_pre:
+                kwargs["neigh_feats"] = fused[:, neigh_slice]
+            logits = apply_fn(params, cfg.model, mb, feats, **kwargs)
+            loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc_v = masked_accuracy(logits, mb.labels, mb.seed_mask)
+        edges = sum(b.neigh_mask.sum() for b in mb.blocks)
+        verts = sum(m.sum() for m in mb.layer_mask)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, rng=rng)
+        new_acc = acc + jnp.stack([
+            loss, acc_v, jnp.ones((), loss.dtype),
+            edges.astype(jnp.float32), verts.astype(jnp.float32),
+        ])
+        return new_state, new_acc
+
+    return body
+
+
+def _epoch_schedule(epoch_key, train_nids, batch_size):
+    """Device-side epoch schedule: seeds [nb, B], mask [nb, B], keys [nb, ·].
+
+    The tail batch is padded by wrapping the permutation, with padded seeds
+    masked out of sampling, loss and metrics (shared by scan and per-step
+    modes — identical draws ⇒ identical trajectories)."""
+    n_train = train_nids.shape[0]
+    num_batches = -(-n_train // batch_size)
+    total = num_batches * batch_size
+    perm_key, sample_key = jax.random.split(epoch_key)
+    perm = jax.random.permutation(perm_key, n_train)
+    idx = jnp.arange(total, dtype=jnp.int32)
+    seeds_all = jnp.take(train_nids, jnp.take(perm, idx % n_train)
+                         ).reshape(num_batches, batch_size)
+    seed_mask_all = (idx < n_train).reshape(num_batches, batch_size)
+    step_keys = jax.random.split(sample_key, num_batches)
+    return seeds_all, seed_mask_all, step_keys
+
+
 def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                          field_offsets: dict,
                          dequant_scale=None) -> Callable:
@@ -51,17 +128,9 @@ def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     by wrapping the permutation, with padded seeds masked out of sampling,
     loss and metrics.
     """
-    _, apply_fn = get_model(cfg.model)
-    apply_fn = cast_apply(apply_fn, compute_dtype(cfg))
-    sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
-    feat_slice = field_offsets["features"]
-    neigh_slice = field_offsets.get("neigh")
+    body = _make_batch_body(cfg, tx, field_offsets, dequant_scale)
     B = cfg.sampler.batch_size
-    hops = cfg.sampler.num_hops
-    fanout = cfg.sampler.hop_fanouts()
     paired = cfg.sampler.paired_draws
-    if not cfg.sampler.include_self:
-        raise ValueError("on-device sampling requires include_self=True")
 
     @partial(jax.jit, donate_argnames=("state",))
     def epoch_fn(state: TrainState, epoch_key: jax.Array,
@@ -72,52 +141,14 @@ def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         metrics_acc = jnp.zeros(5, dtype=jnp.float32)
         if paired:
             csr = csr.with_rows()   # once per dispatch, OUTSIDE the scan
-        n_train = train_nids.shape[0]
-        num_batches = -(-n_train // B)
-        total = num_batches * B
-        perm_key, sample_key = jax.random.split(epoch_key)
-        perm = jax.random.permutation(perm_key, n_train)
-        idx = jnp.arange(total, dtype=jnp.int32)
-        seeds_all = jnp.take(train_nids, jnp.take(perm, idx % n_train)
-                             ).reshape(num_batches, B)
-        seed_mask_all = (idx < n_train).reshape(num_batches, B)
-        step_keys = jax.random.split(sample_key, num_batches)
+        seeds_all, seed_mask_all, step_keys = _epoch_schedule(
+            epoch_key, train_nids, B)
 
         def one(carry, xs):
             state, acc = carry
             seeds, smask, skey = xs
-            mb = sample_minibatch_device(
-                csr, seeds, smask, hops, fanout, skey, labels=labels,
-                paired=paired,
-            )
-            rng, sub = jax.random.split(state.rng)
-            fused = dequantize_fused(
-                chunked_take(cache_values, mb.input_nids), dequant_scale)
-            feats = fused[:, feat_slice]
-
-            def loss_fn(params):
-                kwargs = dict(train=True, dropout_rng=sub)
-                if sage_pre:
-                    kwargs["neigh_feats"] = fused[:, neigh_slice]
-                logits = apply_fn(params, cfg.model, mb, feats, **kwargs)
-                loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
-                return loss, logits
-
-            (loss, logits), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-            params = optax.apply_updates(state.params, updates)
-            acc_v = masked_accuracy(logits, mb.labels, mb.seed_mask)
-            edges = sum(b.neigh_mask.sum() for b in mb.blocks)
-            verts = sum(m.sum() for m in mb.layer_mask)
-            new_state = TrainState(params=params, opt_state=opt_state,
-                                   step=state.step + 1, rng=rng)
-            new_acc = acc + jnp.stack([
-                loss, acc_v, jnp.ones((), loss.dtype),
-                edges.astype(jnp.float32), verts.astype(jnp.float32),
-            ])
-            return (new_state, new_acc), None
+            return body(state, acc, seeds, smask, skey, labels, csr,
+                        cache_values), None
 
         (state, metrics_acc), _ = jax.lax.scan(
             one, (state, metrics_acc), (seeds_all, seed_mask_all, step_keys),
@@ -126,6 +157,67 @@ def make_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         return state, metrics_acc
 
     return epoch_fn
+
+
+def make_device_step_fns(cfg: Config, tx: optax.GradientTransformation,
+                         field_offsets: dict,
+                         dequant_scale=None) -> tuple:
+    """Per-step dispatch variant of :func:`make_device_epoch_fn`.
+
+    Measured outcome (BENCH_NOTES "per-step dispatch A/B", 2026-08-20):
+    a small, perfectly stable win at the [15,10,5]/b1024/h256 leaderboard
+    shape — 21.60 vs 22.16 ms/step (+2.6%), interleaved same-run — plus a
+    2.6× faster warm-up (the per-step program is ~636× smaller than the
+    whole-epoch scan: 58 s vs 152 s compile+first-epoch).  The experiment
+    also settles dead-end #2: the 16.9 ms/step "independent dispatches"
+    figure was mostly the missing state chain (un-chained dispatches
+    overlap each other's compute; the real chained epoch cannot), so the
+    scan-vs-dispatch gap is dependency-structure, not dispatch overhead.
+    ``scan`` stays the default (`TrainConfig.epoch_dispatch`): at small
+    step shapes (~1.4 ms) per-dispatch overhead would dominate.
+
+    Returns ``(prepare_fn, step_fn)``::
+
+        seeds, mask, keys, acc = prepare_fn(epoch_key, train_nids)
+        for _ in range(num_batches):
+            state, acc = step_fn(state, acc, seeds, mask, keys,
+                                 labels, csr, cache_values)
+
+    Every per-dispatch input is device-resident (the batch index is derived
+    from ``state.step`` ON DEVICE), so no host array rides the tunnel inside
+    an epoch — the same zero-H2D contract as the scan path.  The schedule
+    builder is shared with the scan path, so the two modes are
+    trajectory-identical (tests/test_step_dispatch.py pins this).
+
+    ``csr`` must already have its paired row view materialized
+    (``DeviceCSR.with_rows()`` OUTSIDE jit, once) when
+    ``sampler.paired_draws`` — reshaping per dispatch would re-tile the
+    [E/8, 8] table every step (the 6.8M-edges/s regression, CLAUDE.md).
+    """
+    body = _make_batch_body(cfg, tx, field_offsets, dequant_scale)
+    B = cfg.sampler.batch_size
+
+    @jax.jit
+    def prepare_fn(epoch_key: jax.Array, train_nids: jax.Array):
+        seeds_all, seed_mask_all, step_keys = _epoch_schedule(
+            epoch_key, train_nids, B)
+        return seeds_all, seed_mask_all, step_keys, jnp.zeros(
+            5, dtype=jnp.float32)
+
+    @partial(jax.jit, donate_argnames=("state", "acc"))
+    def step_fn(state: TrainState, acc: jax.Array, seeds_all: jax.Array,
+                seed_mask_all: jax.Array, step_keys: jax.Array,
+                labels: jax.Array, csr: DeviceCSR, cache_values: jax.Array):
+        num_batches = seeds_all.shape[0]
+        i = jax.lax.rem(state.step, jnp.int32(num_batches))
+        seeds = jax.lax.dynamic_index_in_dim(seeds_all, i, keepdims=False)
+        smask = jax.lax.dynamic_index_in_dim(seed_mask_all, i,
+                                             keepdims=False)
+        skey = jax.lax.dynamic_index_in_dim(step_keys, i, keepdims=False)
+        return body(state, acc, seeds, smask, skey, labels, csr,
+                    cache_values)
+
+    return prepare_fn, step_fn
 
 
 def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,

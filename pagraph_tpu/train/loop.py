@@ -108,6 +108,12 @@ class Trainer:
             if device is not None:
                 self.state = jax.device_put(self.state, device)
             self._is_cv = cfg.model.arch == "gcn_cv"
+            self._step_mode = cfg.train.epoch_dispatch == "steps"
+            if self._step_mode and self._is_cv:
+                raise ValueError(
+                    "epoch_dispatch='steps' does not support gcn_cv (the "
+                    "epoch-end aggregated-history refresh needs the "
+                    "whole-epoch dispatch); use epoch_dispatch='scan'")
             if self._is_cv:
                 # device-resident CV histories + padded edge list for the
                 # end-of-epoch exact aggregated-history refresh
@@ -140,6 +146,19 @@ class Trainer:
                     cfg, self._tx, self.cache.field_offsets, n,
                     dequant_scale=self.cache.dequant_scale_padded,
                 )
+            elif self._step_mode:
+                from .device_epoch import make_device_step_fns
+                if cfg.sampler.paired_draws:
+                    # materialize the [E/8, 8] row view ONCE, outside jit —
+                    # reshaping per step dispatch would re-tile it every
+                    # step (the 6.8M-edges/s regression, CLAUDE.md)
+                    self._dev_csr = self._dev_csr.with_rows()
+                self._prepare_fn, self._step_fn = make_device_step_fns(
+                    cfg, self._tx, self.cache.field_offsets,
+                    dequant_scale=self.cache.dequant_scale_padded,
+                )
+                self._num_batches = -(-len(train_nids)
+                                      // cfg.sampler.batch_size)
             else:
                 self.epoch_fn = make_device_epoch_fn(
                     cfg, self._tx, self.cache.field_offsets,
@@ -381,6 +400,20 @@ class Trainer:
                 self.cache.cache_values, self._dev_esrc, self._dev_edst,
                 self._dev_invdeg,
             )
+            return acc
+        if self._step_mode:
+            # One async dispatch per minibatch: the host enqueues the whole
+            # epoch without ever blocking (every input below is already
+            # device-resident; the batch index comes from state.step ON
+            # DEVICE), and the runtime overlaps dispatch i+1's
+            # state-independent sample+gather with dispatch i's tail.
+            seeds, smask, keys, acc = self._prepare_fn(
+                key, self._dev_train_nids)
+            for _ in range(self._num_batches):
+                self.state, acc = self._step_fn(
+                    self.state, acc, seeds, smask, keys, self._dev_labels,
+                    self._dev_csr, self.cache.cache_values,
+                )
             return acc
         self.state, acc = self.epoch_fn(
             self.state, key, self._dev_train_nids,
