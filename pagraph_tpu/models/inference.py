@@ -148,8 +148,145 @@ def _device_aggregate(src: jax.Array, dst: jax.Array, h: jax.Array,
     return acc
 
 
+@partial(jax.jit, static_argnames=("kind",))
+def _window_reduce(h_pad, idx, kind: str):
+    """Reduce padded neighbor windows: ``idx`` int32 [nchunks, rows, F]
+    indexes ``h_pad`` [S+1, D] whose LAST row is the zero pad target; pad
+    slots carry index S.  Scans chunks so only one [rows, F, D] gather is
+    live at a time.  Returns [nchunks*rows, D]."""
+    pad_id = h_pad.shape[0] - 1
+
+    def step(carry, ix):
+        vals = jnp.take(h_pad, ix, axis=0)            # [rows, F, D]
+        if kind == "max":
+            m = (ix != pad_id)[..., None]
+            red = jnp.max(jnp.where(m, vals, -jnp.inf), axis=1)
+            red = jnp.where(jnp.isneginf(red), jnp.zeros((), vals.dtype),
+                            red)                       # zero-degree rows
+        else:
+            red = jnp.sum(vals, axis=1)
+        return carry, red
+
+    _, outs = jax.lax.scan(step, 0, idx)
+    return outs.reshape(-1, h_pad.shape[1])
+
+
+def _chunk_rows(idx2d: np.ndarray, n_pad: int, rows_c: int) -> np.ndarray:
+    """[rows, F] -> [nchunks, rows_c, F], padding extra rows with n_pad."""
+    rows, F = idx2d.shape
+    nc = max(1, -(-rows // rows_c))
+    out = np.full((nc * rows_c, F), n_pad, dtype=np.int32)
+    out[:rows] = idx2d
+    return out.reshape(nc, rows_c, F)
+
+
+class _BucketedNeighborhoods:
+    """Degree-bucketed padded neighbor windows: exact full-graph
+    aggregation as pure gathers + dense reductions — NO scatter.
+
+    XLA's TPU scatter-add serializes per index: a single 16.1M-edge
+    ``acc.at[dst].add(h[src])`` sum at D=256 measured 15-30 s on v5e
+    (~1 us/edge), while the equivalent gather runs 69M edges/s (measured
+    2026-08-20, BENCH_NOTES "scatter-free device inference").  So instead
+    of scattering messages to destinations, each destination GATHERS a
+    statically shaped padded window of its in-neighbor rows:
+
+    - vertices are grouped by ceil-pow2 in-degree (F = f_min..f_cap
+      columns, <= ~10 buckets); each bucket is one [nchunks, rows, F]
+      int32 window table, pad slots = sentinel ``n`` (``h`` gets one
+      appended zero row, so pads add 0 to sums and are masked for max);
+    - hubs (deg > f_cap) split into ceil(deg/f_cap) windows whose
+      per-window partials are reduced by a tiny second-level table;
+    - per-bucket results concatenate in grouped order and un-permute
+      with ONE n-row gather.
+
+    Build once per graph (layer/dtype independent, ~2E int32 of HBM);
+    each ``aggregate`` is ~a dozen dispatches.  The reference's analog is
+    DGL's CPU/GPU SpMM (reference: examples/eval.py:28-46 evaluates via
+    full-graph DGLGraph.update_all).
+    """
+
+    def __init__(self, graph: CSRGraph, f_min: int = 8, f_cap: int = 4096,
+                 chunk_elems: int = 1 << 26, d_max: int = 512):
+        n = graph.num_nodes
+        self.num_nodes = n
+        deg = np.diff(graph.indptr).astype(np.int64)
+        indptr, indices = graph.indptr, graph.indices
+        perm_parts = []
+        zero = np.nonzero(deg == 0)[0]
+        perm_parts.append(zero)
+        self._n0 = len(zero)
+        self._buckets = []
+        small = np.nonzero((deg > 0) & (deg <= f_cap))[0]
+        if len(small):
+            Fs = np.maximum(
+                f_min,
+                (1 << np.ceil(np.log2(deg[small])).astype(np.int64)))
+            for F in np.unique(Fs):
+                vs = small[Fs == F]
+                perm_parts.append(vs)
+                cols = np.arange(F, dtype=np.int64)[None, :]
+                mask = cols < deg[vs][:, None]
+                flat = indptr[vs][:, None] + np.where(mask, cols, 0)
+                idx = np.where(mask, indices[flat], n).astype(np.int32)
+                rows_c = max(1, chunk_elems // (int(F) * d_max))
+                self._buckets.append(
+                    (jnp.asarray(_chunk_rows(idx, n, rows_c)), len(vs)))
+        big = np.nonzero(deg > f_cap)[0]
+        self._big = None
+        if len(big):
+            perm_parts.append(big)
+            wcounts = -(-deg[big] // f_cap)
+            W = int(wcounts.sum())
+            widx = np.full((W, f_cap), n, dtype=np.int32)
+            row = 0
+            for v, wc in zip(big, wcounts):
+                nb = indices[indptr[v]:indptr[v] + deg[v]]
+                pad = int(wc) * f_cap - len(nb)
+                widx[row:row + wc] = np.concatenate(
+                    [nb, np.full(pad, n, nb.dtype)]).reshape(wc, f_cap)
+                row += int(wc)
+            rows_cw = max(1, chunk_elems // (f_cap * d_max))
+            F2 = max(f_min, 1 << int(np.ceil(np.log2(wcounts.max()))))
+            starts = np.concatenate([[0], np.cumsum(wcounts)[:-1]])
+            cols2 = np.arange(F2, dtype=np.int64)[None, :]
+            m2 = cols2 < wcounts[:, None]
+            idx2 = np.where(m2, starts[:, None] + cols2, W).astype(np.int32)
+            rows_c2 = max(1, chunk_elems // (F2 * d_max))
+            self._big = (jnp.asarray(_chunk_rows(widx, n, rows_cw)), W,
+                         jnp.asarray(_chunk_rows(idx2, W, rows_c2)),
+                         len(big))
+        perm = np.concatenate(perm_parts) if perm_parts else np.arange(n)
+        inv = np.empty(n, dtype=np.int32)
+        inv[perm] = np.arange(n, dtype=np.int32)
+        self._inv_perm = jnp.asarray(inv)
+
+    def aggregate(self, h: jax.Array, kind: str) -> jax.Array:
+        n, D = h.shape
+        assert n == self.num_nodes
+        hp = jnp.concatenate([h, jnp.zeros((1, D), h.dtype)], axis=0)
+        outs = []
+        if self._n0:
+            outs.append(jnp.zeros((self._n0, D), h.dtype))
+        for idx, rows in self._buckets:
+            outs.append(_window_reduce(hp, idx, kind)[:rows])
+        if self._big is not None:
+            widx, wrows, idx2, nbig = self._big
+            partials = _window_reduce(hp, widx, kind)[:wrows]
+            pp = jnp.concatenate(
+                [partials, jnp.zeros((1, D), h.dtype)], axis=0)
+            outs.append(_window_reduce(pp, idx2, kind)[:nbig])
+        out_perm = jnp.concatenate(outs, axis=0)
+        return jnp.take(out_perm, self._inv_perm, axis=0)
+
+
 class _DeviceEdges:
-    """HBM-resident padded edge list for chunked scatter aggregation."""
+    """HBM-resident padded edge list for chunked scatter aggregation.
+
+    NOTE: retained for the GAT device path (whose per-edge softmax needs
+    the edge list) and as the measured baseline; for sum/mean/max use
+    :class:`_BucketedNeighborhoods` — TPU scatter serializes per index
+    (~1 us/edge measured; the gather formulation is ~100x faster)."""
 
     def __init__(self, graph: CSRGraph, edge_chunk: int = 1 << 20):
         n, e = graph.num_nodes, graph.num_edges
@@ -305,7 +442,14 @@ def _gat_full_graph_host(params: dict, cfg: ModelConfig, graph: CSRGraph,
 def _full_graph_logits_device(params: dict, cfg: ModelConfig,
                               graph: CSRGraph, features: np.ndarray,
                               edge_chunk: int) -> np.ndarray:
-    edges = _DeviceEdges(graph, edge_chunk)
+    if cfg.arch == "gat":
+        # per-edge attention softmax needs the explicit edge list
+        return _gat_full_graph_device(params, cfg,
+                                      _DeviceEdges(graph, edge_chunk),
+                                      features)
+    # sum/mean/max aggregation: scatter-free bucketed gather windows
+    # (TPU scatter is ~1 us/edge — see _BucketedNeighborhoods)
+    edges = _BucketedNeighborhoods(graph)
     norm = jnp.asarray(gcn_norm(graph))[:, None]
     nl = cfg.n_layers
     off = 1 if cfg.preprocess else 0
@@ -358,8 +502,6 @@ def _full_graph_logits_device(params: dict, cfg: ModelConfig,
             else:
                 h = out
         return np.asarray(h)
-    if cfg.arch == "gat":
-        return _gat_full_graph_device(params, cfg, edges, features)
     raise NotImplementedError(f"device inference for {cfg.arch}")
 
 

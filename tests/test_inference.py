@@ -258,3 +258,34 @@ def test_eval_backend_config_threads_through(learn_ds):
     with pytest.raises(ValueError, match="eval_backend"):
         pg.Config(model=pg.ModelConfig(),
                   train=pg.TrainConfig(eval_backend="gpu")).validate()
+
+
+@pytest.mark.parametrize("kind", ["sum", "max"])
+def test_bucketed_aggregate_matches_scipy(learn_ds, kind):
+    """_BucketedNeighborhoods (scatter-free device aggregation) == scipy,
+    with f_cap tiny enough that the two-level hub path is exercised."""
+    import jax.numpy as jnp
+    import scipy.sparse as spsp
+
+    from pagraph_tpu.models.inference import _BucketedNeighborhoods
+
+    g = learn_ds.graph
+    deg = np.diff(g.indptr)
+    f_cap = 8
+    assert (deg > f_cap).any(), "fixture must contain hub vertices"
+    nbrs = _BucketedNeighborhoods(g, f_min=2, f_cap=f_cap,
+                                  chunk_elems=1 << 12)
+    h = learn_ds.features.astype(np.float32)
+    got = np.asarray(nbrs.aggregate(jnp.asarray(h), kind))
+    if kind == "sum":
+        adj = spsp.csr_matrix(
+            (np.ones(g.num_edges, np.float32), g.indices, g.indptr),
+            shape=(g.num_nodes, g.num_nodes))
+        want = adj @ h
+    else:
+        want = np.zeros_like(h, shape=(g.num_nodes, h.shape[1]))
+        for v in range(g.num_nodes):
+            nb = g.indices[g.indptr[v]:g.indptr[v + 1]]
+            if len(nb):
+                want[v] = h[nb].max(axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
