@@ -4,7 +4,9 @@ The reference's eval is offline checkpoint replay on CPU+GPU via DGL
 (reference: examples/eval.py:28-46); here exact full-neighborhood
 inference is a first-class API (`models/inference.full_graph_logits`)
 with a host backend (scipy SpMM aggregation) and a device backend
-(chunked edge scatters, everything in HBM).  This prints the measured
+(degree-bucketed padded gather windows — `_BucketedNeighborhoods`;
+TPU scatter is ~1 us/edge so chunked edge scatters remain only for the
+GAT per-edge-softmax path).  This prints the measured
 wall-clock of BOTH on the rmat20 bench graph at the leaderboard model
 shape — the number a serving user cares about:
 

@@ -153,7 +153,12 @@ def _window_reduce(h_pad, idx, kind: str):
     """Reduce padded neighbor windows: ``idx`` int32 [nchunks, rows, F]
     indexes ``h_pad`` [S+1, D] whose LAST row is the zero pad target; pad
     slots carry index S.  Scans chunks so only one [rows, F, D] gather is
-    live at a time.  Returns [nchunks*rows, D]."""
+    live at a time.  Returns [nchunks*rows, D].
+
+    ``max`` maps all-(-inf) reductions to 0, so a vertex whose real
+    neighbor rows are all -inf is indistinguishable from zero-degree
+    padding — same convention as `_device_aggregate` (parity with the
+    retained `_DeviceEdges` path)."""
     pad_id = h_pad.shape[0] - 1
 
     def step(carry, ix):
@@ -235,8 +240,16 @@ class _BucketedNeighborhoods:
         big = np.nonzero(deg > f_cap)[0]
         self._big = None
         if len(big):
+            # Second level is bucketed by per-hub window count (same
+            # ceil-pow2 scheme as level 1): one mega-hub (deg ~1e7 ->
+            # ~4096 windows) must not inflate EVERY hub row to the global
+            # max window count (ADVICE r3).  Hubs are reordered bucket-
+            # grouped so outputs concatenate in perm order.
+            wc_all = (-(-deg[big] // f_cap)).astype(np.int64)
+            F2s = np.maximum(2, 1 << np.ceil(np.log2(wc_all)).astype(np.int64))
+            order = np.argsort(F2s, kind="stable")
+            big, wcounts, F2s = big[order], wc_all[order], F2s[order]
             perm_parts.append(big)
-            wcounts = -(-deg[big] // f_cap)
             W = int(wcounts.sum())
             widx = np.full((W, f_cap), n, dtype=np.int32)
             row = 0
@@ -247,15 +260,19 @@ class _BucketedNeighborhoods:
                     [nb, np.full(pad, n, nb.dtype)]).reshape(wc, f_cap)
                 row += int(wc)
             rows_cw = max(1, chunk_elems // (f_cap * d_max))
-            F2 = max(f_min, 1 << int(np.ceil(np.log2(wcounts.max()))))
             starts = np.concatenate([[0], np.cumsum(wcounts)[:-1]])
-            cols2 = np.arange(F2, dtype=np.int64)[None, :]
-            m2 = cols2 < wcounts[:, None]
-            idx2 = np.where(m2, starts[:, None] + cols2, W).astype(np.int32)
-            rows_c2 = max(1, chunk_elems // (F2 * d_max))
+            lvl2 = []
+            for F2 in np.unique(F2s):
+                sel = F2s == F2
+                cols2 = np.arange(F2, dtype=np.int64)[None, :]
+                m2 = cols2 < wcounts[sel][:, None]
+                idx2 = np.where(m2, starts[sel][:, None] + cols2,
+                                W).astype(np.int32)
+                rows_c2 = max(1, chunk_elems // (int(F2) * d_max))
+                lvl2.append((jnp.asarray(_chunk_rows(idx2, W, rows_c2)),
+                             int(sel.sum())))
             self._big = (jnp.asarray(_chunk_rows(widx, n, rows_cw)), W,
-                         jnp.asarray(_chunk_rows(idx2, W, rows_c2)),
-                         len(big))
+                         lvl2, len(big))
         perm = np.concatenate(perm_parts) if perm_parts else np.arange(n)
         inv = np.empty(n, dtype=np.int32)
         inv[perm] = np.arange(n, dtype=np.int32)
@@ -271,11 +288,12 @@ class _BucketedNeighborhoods:
         for idx, rows in self._buckets:
             outs.append(_window_reduce(hp, idx, kind)[:rows])
         if self._big is not None:
-            widx, wrows, idx2, nbig = self._big
+            widx, wrows, lvl2, _ = self._big
             partials = _window_reduce(hp, widx, kind)[:wrows]
             pp = jnp.concatenate(
                 [partials, jnp.zeros((1, D), h.dtype)], axis=0)
-            outs.append(_window_reduce(pp, idx2, kind)[:nbig])
+            for idx2, rows2 in lvl2:
+                outs.append(_window_reduce(pp, idx2, kind)[:rows2])
         out_perm = jnp.concatenate(outs, axis=0)
         return jnp.take(out_perm, self._inv_perm, axis=0)
 

@@ -185,7 +185,10 @@ def make_device_step_fns(cfg: Config, tx: optax.GradientTransformation,
 
     Every per-dispatch input is device-resident (the batch index is derived
     from ``state.step`` ON DEVICE), so no host array rides the tunnel inside
-    an epoch — the same zero-H2D contract as the scan path.  The schedule
+    an epoch — the same zero-H2D contract as the scan path.  INVARIANT:
+    ``state.step`` must be a multiple of ``num_batches`` at every epoch
+    start (epoch-granular training preserves this; ``Trainer.resume``
+    rejects non-epoch-aligned checkpoints in step mode).  The schedule
     builder is shared with the scan path, so the two modes are
     trajectory-identical (tests/test_step_dispatch.py pins this).
 

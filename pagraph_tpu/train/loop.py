@@ -565,6 +565,18 @@ class Trainer:
             self.state = jax.device_put(self.state, self.device)
         if getattr(self, "_is_cv", False):
             self._restore_cv_aux(epoch)
+        if getattr(self, "_step_mode", False):
+            # epoch_dispatch="steps" derives the batch index from
+            # state.step % num_batches ON device (device_epoch.py) — a
+            # checkpoint taken off epoch boundaries would silently
+            # misalign seeds/masks/keys.  One-time D2H fetch here (~34 ms
+            # on axon) is the only place this check is free (ADVICE r3).
+            step = int(jax.device_get(self.state.step))
+            if step % self._num_batches != 0:
+                raise ValueError(
+                    f"epoch_dispatch='steps' requires epoch-aligned "
+                    f"checkpoints: restored step {step} is not a multiple "
+                    f"of num_batches={self._num_batches}")
         return epoch + 1
 
     def _train_stepwise(self, epochs: Optional[int] = None, *,

@@ -289,3 +289,56 @@ def test_bucketed_aggregate_matches_scipy(learn_ds, kind):
             if len(nb):
                 want[v] = h[nb].max(axis=0)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["sum", "max"])
+def test_bucketed_hub_second_level_buckets(kind):
+    """A mega-hub next to small hubs must not inflate every hub's
+    second-level row to the global max window count (ADVICE r3): the
+    level-2 reduction is bucketed per-hub.  Correctness pinned vs scipy
+    on a graph engineered to produce >=2 distinct level-2 buckets."""
+    import jax.numpy as jnp
+    import scipy.sparse as spsp
+
+    from pagraph_tpu.graph import CSRGraph
+    from pagraph_tpu.models.inference import _BucketedNeighborhoods
+
+    rng = np.random.default_rng(5)
+    n = 300
+    f_cap = 8
+    # degrees: one mega-hub (25 windows -> F2 32), a few small hubs
+    # (2-3 windows -> F2 2/4), the rest below f_cap (incl. zero-degree)
+    deg = rng.integers(0, f_cap + 1, size=n)
+    deg[0] = 200
+    deg[1:4] = [17, 20, 24]
+    src, dst = [], []
+    for v in range(n):
+        nb = rng.choice(n, size=deg[v], replace=False)
+        src.extend(nb)
+        dst.extend([v] * deg[v])
+    coo = np.stack([np.array(dst), np.array(src)])
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr[1:], coo[0], 1)
+    indptr = np.cumsum(indptr)
+    order = np.argsort(coo[0], kind="stable")
+    indices = coo[1][order].astype(np.int32)
+    g = CSRGraph(indptr, indices,
+                 np.bincount(indices, minlength=n).astype(np.int32))
+    nbrs = _BucketedNeighborhoods(g, f_min=2, f_cap=f_cap,
+                                  chunk_elems=1 << 12)
+    assert nbrs._big is not None
+    assert len(nbrs._big[2]) >= 2, "need multiple level-2 buckets"
+    h = rng.standard_normal((n, 5)).astype(np.float32)
+    got = np.asarray(nbrs.aggregate(jnp.asarray(h), kind))
+    adj = spsp.csr_matrix(
+        (np.ones(g.num_edges, np.float32), g.indices, g.indptr),
+        shape=(n, n))
+    if kind == "sum":
+        want = adj @ h
+    else:
+        want = np.zeros((n, 5), np.float32)
+        for v in range(n):
+            nb = g.indices[g.indptr[v]:g.indptr[v + 1]]
+            if len(nb):
+                want[v] = h[nb].max(axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
