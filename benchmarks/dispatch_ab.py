@@ -1,4 +1,4 @@
-"""Interleaved A/B: scan vs per-step epoch dispatch (leaderboard shape).
+"""Interleaved A/B: scan vs per-step vs pipelined epoch dispatch (leaderboard shape).
 
 `TrainConfig.epoch_dispatch='steps'` issues one async dispatch per
 minibatch instead of one whole-epoch lax.scan.  Measured outcome
@@ -43,6 +43,8 @@ def main():
     p.add_argument("--unroll", type=int, default=4,
                    help="scan_unroll for the scan arm (the leaderboard "
                         "recipe default)")
+    p.add_argument("--arms", default="scan,steps,pipelined",
+                   help="comma-separated epoch_dispatch modes to interleave")
     args = p.parse_args()
 
     from pagraph_tpu.utils.platform import (enable_compilation_cache,
@@ -79,7 +81,8 @@ def main():
         )
         return Trainer(cfg, store, ds.graph, ds.train_nids, ds.labels)
 
-    trainers = {d: make(d) for d in ("scan", "steps")}
+    arms = [a for a in args.arms.split(",") if a]
+    trainers = {d: make(d) for d in arms}
 
     def run_epoch(tr, e):
         t0 = time.perf_counter()
@@ -93,7 +96,7 @@ def main():
         dt, _ = run_epoch(tr, 0)          # compile + warm
         log(f"[ab] {name:5s} warmup epoch {dt:.1f}s")
 
-    times = {"scan": [], "steps": []}
+    times = {d: [] for d in arms}
     edges = {}
     for e in range(1, args.epochs_each + 1):
         for name, tr in trainers.items():
@@ -106,18 +109,18 @@ def main():
                 f"{vals[3] / dt / 1e6:.2f}M edges/s)")
 
     med = {k: float(np.median(v)) for k, v in times.items()}
+    base = med.get("scan", max(med.values()))
     out = {
         "metric": "leaderboard_epoch_s",
-        "scan_s": round(med["scan"], 3),
-        "steps_s": round(med["steps"], 3),
-        "speedup": round(med["scan"] / med["steps"], 3),
+        **{f"{k}_s": round(v, 3) for k, v in med.items()},
+        "speedup_best": round(base / min(med.values()), 3),
         "detail": {
             "workload": (f"graphsage fanouts={list(fanouts)} "
                          f"b{args.batch} h{args.hidden} "
                          f"{args.compute_dtype} rmat20 "
                          f"({ds.num_nodes:,} v, {ds.graph.num_edges:,} e)"),
-            "scan_epochs_s": [round(t, 3) for t in times["scan"]],
-            "steps_epochs_s": [round(t, 3) for t in times["steps"]],
+            **{f"{k}_epochs_s": [round(t, 3) for t in v]
+               for k, v in times.items()},
             "edges_per_epoch": edges,
         },
     }

@@ -105,8 +105,12 @@ def main():
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="model fwd/bwd dtype (master params stay f32)")
+    p.add_argument("--cache-dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="feature storage tier (int8 = quarter HBM, "
+                        "per-column symmetric dequant fused in-jit)")
     p.add_argument("--epoch-dispatch", default="scan",
-                   choices=["scan", "steps"],
+                   choices=["scan", "steps", "pipelined"],
                    help="steps = one async dispatch per minibatch (+2.6%% "
                         "at the [15,10,5] --standard shape, much faster "
                         "compile; slower at the small reference shape)")
@@ -146,6 +150,7 @@ def main():
     cfg = pg.Config(
         model=model,
         sampler=sampler,
+        cache=pg.CacheConfig(dtype=args.cache_dtype),
         train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
                              on_device_sampling=True, scan_unroll=4,
                              epoch_dispatch=args.epoch_dispatch,

@@ -59,11 +59,14 @@ def main():
                    help="in-HBM regime instead: whole-epoch on-device "
                         "training (use with --feat small enough to cache)")
     p.add_argument("--multihost", action="store_true",
-                   help="spawn 2 controller processes x 2 virtual CPU "
-                        "devices: edge-partitioned mode (partition CSR per "
-                        "chip, features sharded across the mesh), each "
+                   help="spawn --procs controller processes x 2 virtual "
+                        "CPU devices: edge-partitioned mode (partition CSR "
+                        "per chip, features sharded across the mesh), each "
                         "process's DRAM holding only ITS chips' feature "
                         "rows via a memmap-backed store (config #5 shape)")
+    p.add_argument("--procs", type=int, default=2,
+                   help="controller processes for --multihost (2 devices "
+                        "each)")
     p.add_argument("--num-processes", type=int, default=1)
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--coordinator", type=str, default=None)
@@ -235,7 +238,8 @@ def _worker_edge_train(args, pg, ds, n, feat_gb):
         "detail": {
             "workload": f"graphsage rmat{args.scale} edge-partitioned "
                         f"({n:,} v, {ds.graph.num_edges:,} e, "
-                        f"feat {feat_gb:.1f}GB total, 2 procs x 2 devices)",
+                        f"feat {feat_gb:.1f}GB total, "
+                        f"{args.num_processes} procs x 2 devices)",
             "epoch_time_s": round(
                 float(np.mean([m.time_s for m in steady])), 2),
             "halo_drops": int(tr.halo_drops),
@@ -281,8 +285,9 @@ def _multihost_parent(args):
         del graph, feats
     from pagraph_tpu.parallel.multihost import spawn_local
 
+    P = args.procs
     with tempfile.TemporaryDirectory() as td:
-        outs = [os.path.join(td, f"p{i}.json") for i in range(2)]
+        outs = [os.path.join(td, f"p{i}.json") for i in range(P)]
         codes = spawn_local(
             [os.path.abspath(__file__), "--worker",
              "--scale", str(args.scale), "--feat", str(args.feat),
@@ -290,8 +295,8 @@ def _multihost_parent(args):
              "--epochs", str(args.epochs),
              "--batch-size", str(args.batch_size)]
             + (["--bf16"] if args.bf16 else []),
-            2, timeout=1800, stdout_paths=outs)
-        if codes != [0, 0]:
+            P, timeout=1800, stdout_paths=outs)
+        if codes != [0] * P:
             raise SystemExit(f"worker exit codes {codes}")
         line = open(outs[0]).read().strip().splitlines()[-1]
     print(line, flush=True)

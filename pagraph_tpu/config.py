@@ -185,16 +185,24 @@ class TrainConfig:
                                       # cache in HBM; see train/device_epoch.py)
     steps_per_dispatch: int = 8       # K batches per compiled call (lax.scan)
     epoch_dispatch: str = "scan"      # on-device epoch driver: "scan" (whole
-                                      # epoch = ONE dispatch, lax.scan) or
+                                      # epoch = ONE dispatch, lax.scan),
                                       # "steps" (one async dispatch per
                                       # minibatch, all inputs device-resident
                                       # — zero H2D inside the epoch either
-                                      # way).  "steps" is +2.6% at the
-                                      # [15,10,5] b1024 h256 leaderboard
-                                      # shape and compiles ~2.6x faster;
-                                      # a loss at small steps where dispatch
-                                      # overhead dominates (BENCH_NOTES
-                                      # "per-step dispatch A/B")
+                                      # way), or "pipelined" (two dispatches
+                                      # per minibatch: a state-INDEPENDENT
+                                      # sample+gather enqueued one batch
+                                      # ahead, then the state-chained
+                                      # fwd/bwd/Adam — adjacent dispatches
+                                      # overlap, recovering the phase
+                                      # serialization the scan cannot hide;
+                                      # trajectory identical to scan/steps).
+                                      # "steps" is +2.6% at the [15,10,5]
+                                      # b1024 h256 leaderboard shape and
+                                      # compiles ~2.6x faster; a loss at
+                                      # small steps where dispatch overhead
+                                      # dominates (BENCH_NOTES "per-step
+                                      # dispatch A/B")
     scan_unroll: int = 1              # on-device epoch: minibatches unrolled
                                       # per scan iteration (the step is
                                       # latency-bound, not FLOP-bound, at the
@@ -290,13 +298,14 @@ class Config:
         if t.eval_backend not in ("host", "device"):
             raise ValueError(f"train.eval_backend must be host|device, "
                              f"got {t.eval_backend!r}")
-        if t.epoch_dispatch not in ("scan", "steps"):
-            raise ValueError(f"train.epoch_dispatch must be scan|steps, "
+        if t.epoch_dispatch not in ("scan", "steps", "pipelined"):
+            raise ValueError(f"train.epoch_dispatch must be "
+                             f"scan|steps|pipelined, "
                              f"got {t.epoch_dispatch!r}")
-        if t.epoch_dispatch == "steps" and not t.on_device_sampling:
+        if t.epoch_dispatch != "scan" and not t.on_device_sampling:
             raise ValueError(
-                "epoch_dispatch='steps' only applies to the on-device "
-                "sampling path (train.on_device_sampling=True)")
+                f"epoch_dispatch={t.epoch_dispatch!r} only applies to the "
+                "on-device sampling path (train.on_device_sampling=True)")
         if self.cache.dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"cache.dtype must be float32|bfloat16|int8, "
                              f"got {self.cache.dtype!r}")

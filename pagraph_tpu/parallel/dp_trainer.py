@@ -979,15 +979,24 @@ class DataParallelTrainer:
 
     def _cv_aux(self):
         """dp gcn_cv: the per-partition hist/agg stacks as a checkpointable
-        pytree.  Multi-process, each process only holds its local dp shards
-        (device_get of the global array would fail) — the aux sidecar is
-        skipped there and resume warns (single-host dp covers the r2 #6
-        contract; multi-host CV checkpointing would need per-process shard
-        files)."""
+        pytree for the single-process orbax ``.aux`` sidecar.  Multi-process
+        returns None (no process holds the full global arrays) — that case
+        is covered by the per-process shard files instead
+        (``_save_cv_aux_shards`` / checkpoint.save_aux_shards)."""
         if not getattr(self, "_is_cv", False) or self._mp:
             return None
         return {"hist": [np.asarray(h) for h in self._dev_hists],
                 "agg": [np.asarray(a) for a in self._dev_aggs]}
+
+    def _save_cv_aux_shards(self, epoch: int) -> None:
+        """Multi-process CV aux: EVERY process writes the dp-axis rows its
+        devices own to ``<arch>_<epoch>.aux.p<pid>.npz`` (the round-3 gap:
+        this used to be skipped with a resume warning)."""
+        from ..train.checkpoint import save_aux_shards
+
+        save_aux_shards(
+            self.cfg.train.ckpt_dir, self.cfg.model.arch, epoch,
+            {"hist": list(self._dev_hists), "agg": list(self._dev_aggs)})
 
     def _maybe_checkpoint(self, epoch: int) -> None:
         tc = self.cfg.train
@@ -995,12 +1004,17 @@ class DataParallelTrainer:
             return
         if (epoch + 1) % tc.ckpt_every:
             return
-        # state is replicated: every process holds the full value; one writes
-        if jax.process_index() == 0:
-            from ..train.checkpoint import save_checkpoint
+        # state is replicated: every process holds the full value.  ALL
+        # processes must enter the orbax save (it synchronizes globally and
+        # lets the primary host write); gating on process 0 deadlocks the
+        # gloo barrier.
+        from ..train.checkpoint import save_checkpoint
 
-            save_checkpoint(tc.ckpt_dir, self.cfg.model.arch, epoch,
-                            jax.device_get(self.state), aux=self._cv_aux())
+        save_checkpoint(tc.ckpt_dir, self.cfg.model.arch, epoch,
+                        jax.device_get(self.state), aux=self._cv_aux())
+        if getattr(self, "_is_cv", False) and self._mp:
+            # sharded CV histories: every process writes its own rows
+            self._save_cv_aux_shards(epoch)
 
     def resume(self, epoch: Optional[int] = None) -> int:
         """Restore the newest (or given) checkpoint into the replicated
@@ -1025,20 +1039,46 @@ class DataParallelTrainer:
         return epoch + 1
 
     def _restore_cv_aux(self, epoch: int) -> None:
-        from ..train.checkpoint import restore_aux
+        from ..train.checkpoint import open_aux_shards, restore_aux
 
-        template = self._cv_aux()
-        aux = (restore_aux(self.cfg.train.ckpt_dir, self.cfg.model.arch,
-                           epoch, template)
-               if template is not None else None)
+        if self._mp:
+            # per-process shard files: each process materializes only the
+            # rows its devices own (place_dp callback form)
+            get_row = open_aux_shards(self.cfg.train.ckpt_dir,
+                                      self.cfg.model.arch, epoch)
+            if get_row is not None:
+                def place(name, b, ref):
+                    cb = lambda r: get_row(f"{name}{b}_row{r}")
+                    return place_dp(cb, self.mesh, shape=ref.shape,
+                                    dtype=ref.dtype)
+                try:
+                    self._dev_hists = tuple(
+                        place("hist", b, h)
+                        for b, h in enumerate(self._dev_hists))
+                    self._dev_aggs = tuple(
+                        place("agg", b, a)
+                        for b, a in enumerate(self._dev_aggs))
+                except KeyError as e:
+                    raise ValueError(
+                        f"CV aux shard files for epoch {epoch} are missing "
+                        f"row {e} — was the checkpoint written with a "
+                        "different mesh size? (rows are keyed by GLOBAL dp "
+                        "index; the device count must match)") from None
+                return
+            aux = None
+        else:
+            template = self._cv_aux()
+            aux = (restore_aux(self.cfg.train.ckpt_dir, self.cfg.model.arch,
+                               epoch, template)
+                   if template is not None else None)
         if aux is None:
             import warnings
             warnings.warn(
                 f"checkpoint {self.cfg.model.arch}_{epoch} has no usable "
-                ".aux CV histories (pre-aux checkpoint, or multi-process "
-                "run): resuming with ZERO hist/agg — the control-variate "
-                "term is wrong until the first post-resume epoch refreshes "
-                "them", RuntimeWarning, stacklevel=3)
+                ".aux CV histories (pre-aux checkpoint): resuming with "
+                "ZERO hist/agg — the control-variate term is wrong until "
+                "the first post-resume epoch refreshes them",
+                RuntimeWarning, stacklevel=3)
             return
         put = lambda x: place_dp(np.asarray(x), self.mesh)
         self._dev_hists = tuple(put(h) for h in aux["hist"])

@@ -63,6 +63,62 @@ def restore_aux(ckpt_dir: str, arch: str, epoch: int, template):
     return ckptr.restore(path, jax.device_get(template))
 
 
+def save_aux_shards(ckpt_dir: str, arch: str, epoch: int, aux: Dict) -> str:
+    """Multi-process CV aux: each process writes the dp-axis rows its
+    devices own to ``<arch>_<epoch>.aux.p<process_index>.npz``.
+
+    ``aux`` is ``{"hist": [global jax.Array [D, n, w], ...], "agg": [...]}``
+    with the arrays sharded on the leading (device) axis — exactly the
+    ``DataParallelTrainer._dev_hists/_dev_aggs`` stacks.  A plain
+    ``device_get`` of those global arrays fails multi-process (no process
+    holds the full value), which is why the single-file orbax ``.aux``
+    sidecar cannot cover this case (the round-3 gap: dp_trainer warned
+    instead of saving).  Keys are ``hist{b}_row{r}`` / ``agg{b}_row{r}``
+    with r the GLOBAL dp row, so restore works for any process that owns
+    row r — the process->row assignment just has to form a partition of
+    the mesh, as any jax.distributed relaunch does."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = (_ckpt_path(ckpt_dir, arch, epoch)
+            + f".aux.p{jax.process_index()}.npz")
+    out = {}
+    for name, arrs in aux.items():
+        for b, a in enumerate(arrs):
+            for shard in a.addressable_shards:
+                sl = shard.index[0]
+                data = np.asarray(shard.data)
+                start = sl.start or 0
+                stop = a.shape[0] if sl.stop is None else sl.stop
+                for i, r in enumerate(range(start, stop, sl.step or 1)):
+                    out[f"{name}{b}_row{r}"] = data[i]
+    np.savez(path, **out)
+    return path
+
+
+def open_aux_shards(ckpt_dir: str, arch: str, epoch: int):
+    """Open the row files written by :func:`save_aux_shards` for lazy
+    per-row access.
+
+    Indexes every ``.aux.p*.npz`` sibling (a relaunch may assign rows to
+    processes differently than the writer did — npz directories are read,
+    row payloads are NOT) and returns a ``key -> np.ndarray`` callable
+    covering ``{name}{b}_row{r}``, or None when no shard files exist
+    (pre-aux or single-process checkpoint).  Each process materializes
+    only the rows it asks for — the per-host-DRAM contract of the
+    multihost design."""
+    import glob
+
+    base = _ckpt_path(ckpt_dir, arch, epoch)
+    files = sorted(glob.glob(base + ".aux.p*.npz"))
+    if not files:
+        return None
+    index = {}
+    for f in files:
+        z = np.load(f)
+        for k in z.files:
+            index[k] = z
+    return lambda key: np.asarray(index[key][key])
+
+
 def list_checkpoints(ckpt_dir: str, arch: str) -> List[int]:
     if not os.path.isdir(ckpt_dir):
         return []

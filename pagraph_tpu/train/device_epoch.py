@@ -223,6 +223,113 @@ def make_device_step_fns(cfg: Config, tx: optax.GradientTransformation,
     return prepare_fn, step_fn
 
 
+def make_device_pipelined_fns(cfg: Config, tx: optax.GradientTransformation,
+                              field_offsets: dict,
+                              dequant_scale=None) -> tuple:
+    """Split-dispatch pipelined epoch: per minibatch, one STATE-INDEPENDENT
+    ``gather_fn`` dispatch (sample + feature gather — driven purely by the
+    precomputed seed/key schedule and a device-side batch counter) and one
+    state-chained ``train_fn`` dispatch (fwd/bwd/Adam/metrics).
+
+    Why (VERDICT r3 #3): the whole-epoch scan serializes batch i+1's
+    sample+gather behind batch i's fwd/bwd even though no dataflow connects
+    them (draws are key-driven; the gather reads only the immutable cache)
+    — ~3 ms/step of phase serialization at the [15,10,5]/b1024/h256
+    leaderboard shape (BENCH_NOTES "DCE-proof attribution").  ``scan_unroll``
+    cannot recover it: inside one program, buffer assignment reuses the big
+    gather scratch across unrolled steps, re-introducing the serialization
+    as a write-after-read hazard.  Separate dispatches get separate
+    allocations, and the TPU runtime demonstrably overlaps adjacent
+    enqueued programs (the 15.5–17.6 ms "independent dispatches" band, same
+    BENCH_NOTES entry).  The driver enqueues ``gather(i+1)`` BEFORE
+    ``train(i)`` so the gather is already in flight while batch i trains.
+
+    Unlike the delayed-gradient design this was scoped as, NO semantics
+    change is needed: the trajectory is bit-identical to ``scan``/``steps``
+    mode (same schedule builder, same per-step rng handling — pinned by
+    tests/test_step_dispatch.py).
+
+    Returns ``(prepare_fn, gather_fn, train_fn)``::
+
+        seeds, mask, keys, acc, counter = prepare_fn(epoch_key, train_nids)
+        counter, batch = gather_fn(counter, seeds, mask, keys, labels,
+                                   csr, cache_values)
+        state, acc = train_fn(state, acc, *batch)
+
+    ``batch`` is ``(mb, fused)``; ``fused`` (the assembled feature block,
+    the one large buffer) is donated into ``train_fn``, so at lookahead 1
+    exactly two fused buffers are ever live.  ``csr`` must have its paired
+    row view materialized outside jit (as in ``steps`` mode).
+    """
+    _, apply_fn = get_model(cfg.model)
+    apply_fn = cast_apply(apply_fn, compute_dtype(cfg))
+    sage_pre = cfg.model.arch == "graphsage" and cfg.model.preprocess
+    feat_slice = field_offsets["features"]
+    neigh_slice = field_offsets.get("neigh")
+    B = cfg.sampler.batch_size
+    hops = cfg.sampler.num_hops
+    fanout = cfg.sampler.hop_fanouts()
+    paired = cfg.sampler.paired_draws
+    if not cfg.sampler.include_self:
+        raise ValueError("on-device sampling requires include_self=True")
+
+    @jax.jit
+    def prepare_fn(epoch_key: jax.Array, train_nids: jax.Array):
+        seeds_all, seed_mask_all, step_keys = _epoch_schedule(
+            epoch_key, train_nids, B)
+        return (seeds_all, seed_mask_all, step_keys,
+                jnp.zeros(5, dtype=jnp.float32),
+                jnp.zeros((), dtype=jnp.int32))
+
+    @partial(jax.jit, donate_argnames=("counter",))
+    def gather_fn(counter: jax.Array, seeds_all: jax.Array,
+                  seed_mask_all: jax.Array, step_keys: jax.Array,
+                  labels: jax.Array, csr: DeviceCSR, cache_values: jax.Array):
+        num_batches = seeds_all.shape[0]
+        i = jax.lax.rem(counter, jnp.int32(num_batches))
+        seeds = jax.lax.dynamic_index_in_dim(seeds_all, i, keepdims=False)
+        smask = jax.lax.dynamic_index_in_dim(seed_mask_all, i,
+                                             keepdims=False)
+        skey = jax.lax.dynamic_index_in_dim(step_keys, i, keepdims=False)
+        mb = sample_minibatch_device(
+            csr, seeds, smask, hops, fanout, skey, labels=labels,
+            paired=paired,
+        )
+        fused = dequantize_fused(
+            chunked_take(cache_values, mb.input_nids), dequant_scale)
+        return counter + 1, mb, fused
+
+    @partial(jax.jit, donate_argnames=("state", "acc", "fused"))
+    def train_fn(state: TrainState, acc: jax.Array, mb, fused: jax.Array):
+        rng, sub = jax.random.split(state.rng)
+        feats = fused[:, feat_slice]
+
+        def loss_fn(params):
+            kwargs = dict(train=True, dropout_rng=sub)
+            if sage_pre:
+                kwargs["neigh_feats"] = fused[:, neigh_slice]
+            logits = apply_fn(params, cfg.model, mb, feats, **kwargs)
+            loss = masked_cross_entropy(logits, mb.labels, mb.seed_mask)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc_v = masked_accuracy(logits, mb.labels, mb.seed_mask)
+        edges = sum(b.neigh_mask.sum() for b in mb.blocks)
+        verts = sum(m.sum() for m in mb.layer_mask)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, rng=rng)
+        new_acc = acc + jnp.stack([
+            loss, acc_v, jnp.ones((), loss.dtype),
+            edges.astype(jnp.float32), verts.astype(jnp.float32),
+        ])
+        return new_state, new_acc
+
+    return prepare_fn, gather_fn, train_fn
+
+
 def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                             mesh, field_offsets: dict, num_batches: int,
                             axis: str = "dp",

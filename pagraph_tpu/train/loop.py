@@ -109,11 +109,13 @@ class Trainer:
                 self.state = jax.device_put(self.state, device)
             self._is_cv = cfg.model.arch == "gcn_cv"
             self._step_mode = cfg.train.epoch_dispatch == "steps"
-            if self._step_mode and self._is_cv:
+            self._pipelined_mode = cfg.train.epoch_dispatch == "pipelined"
+            if (self._step_mode or self._pipelined_mode) and self._is_cv:
                 raise ValueError(
-                    "epoch_dispatch='steps' does not support gcn_cv (the "
-                    "epoch-end aggregated-history refresh needs the "
-                    "whole-epoch dispatch); use epoch_dispatch='scan'")
+                    f"epoch_dispatch={cfg.train.epoch_dispatch!r} does not "
+                    "support gcn_cv (the epoch-end aggregated-history "
+                    "refresh needs the whole-epoch dispatch); use "
+                    "epoch_dispatch='scan'")
             if self._is_cv:
                 # device-resident CV histories + padded edge list for the
                 # end-of-epoch exact aggregated-history refresh
@@ -154,6 +156,17 @@ class Trainer:
                     # step (the 6.8M-edges/s regression, CLAUDE.md)
                     self._dev_csr = self._dev_csr.with_rows()
                 self._prepare_fn, self._step_fn = make_device_step_fns(
+                    cfg, self._tx, self.cache.field_offsets,
+                    dequant_scale=self.cache.dequant_scale_padded,
+                )
+                self._num_batches = -(-len(train_nids)
+                                      // cfg.sampler.batch_size)
+            elif self._pipelined_mode:
+                from .device_epoch import make_device_pipelined_fns
+                if cfg.sampler.paired_draws:
+                    self._dev_csr = self._dev_csr.with_rows()
+                (self._prepare_fn, self._gather_fn,
+                 self._train_fn) = make_device_pipelined_fns(
                     cfg, self._tx, self.cache.field_offsets,
                     dequant_scale=self.cache.dequant_scale_padded,
                 )
@@ -414,6 +427,27 @@ class Trainer:
                     self.state, acc, seeds, smask, keys, self._dev_labels,
                     self._dev_csr, self.cache.cache_values,
                 )
+            return acc
+        if self._pipelined_mode:
+            # Two async dispatches per minibatch; gather(i+1) is enqueued
+            # BEFORE train(i) so the state-independent sample+gather of the
+            # next batch overlaps the current batch's fwd/bwd (the phase
+            # serialization a single chained program cannot hide — see
+            # make_device_pipelined_fns).  Lookahead 1: two fused feature
+            # buffers live at any time (the trained one is donated back).
+            seeds, smask, keys, acc, counter = self._prepare_fn(
+                key, self._dev_train_nids)
+            counter, mb, fused = self._gather_fn(
+                counter, seeds, smask, keys, self._dev_labels,
+                self._dev_csr, self.cache.cache_values)
+            for i in range(self._num_batches):
+                cur_mb, cur_fused = mb, fused
+                if i + 1 < self._num_batches:
+                    counter, mb, fused = self._gather_fn(
+                        counter, seeds, smask, keys, self._dev_labels,
+                        self._dev_csr, self.cache.cache_values)
+                self.state, acc = self._train_fn(
+                    self.state, acc, cur_mb, cur_fused)
             return acc
         self.state, acc = self.epoch_fn(
             self.state, key, self._dev_train_nids,

@@ -99,7 +99,7 @@ def test_multiprocess_host_pipeline_matches_single(tmp_path):
     assert multi["final_loss"] < multi["first_loss"]
 
 
-def _run_single_cmd(tmp_path, args):
+def _run_single_cmd(tmp_path, args, devices=4):
     import os
 
     env = dict(os.environ)
@@ -109,7 +109,7 @@ def _run_single_cmd(tmp_path, args):
     out = tmp_path / "single_h.json"
     with open(out, "w") as f:
         subprocess.run(
-            [sys.executable, *TRAIN, *args, "--cpu-devices", "4"],
+            [sys.executable, *TRAIN, *args, "--cpu-devices", str(devices)],
             env=env, stdout=f, timeout=420, check=True)
     return json.loads(out.read_text().strip().splitlines()[-1])
 
@@ -124,6 +124,68 @@ def _run_multi_cmd(tmp_path, args, nprocs=2):
     assert codes == [0] * nprocs, codes
     with open(outs[0]) as f:
         return json.loads(f.read().strip().splitlines()[-1])
+
+
+def test_multiprocess_4procs_edge_matches_single(tmp_path):
+    """4 controller processes x 2 virtual devices = one 8-device mesh in
+    the pod-relevant EDGE mode (partition CSR per chip + ICI-sharded
+    features): same trajectory as a single-process 8-device run.  Round 3
+    stopped at N=2 (VERDICT r3 #6); N=4 exercises >2-way gloo reductions
+    and a 4-way split of the cyclic feature ownership."""
+    base = [c if c != "4" or COMMON[i - 1] != "--partition" else "8"
+            for i, c in enumerate(COMMON)]
+    extra = ["--feature-source", "edge", "--batch-size", "64"]
+    outs = [str(tmp_path / f"p4_{i}.json") for i in range(4)]
+    from pagraph_tpu.parallel.multihost import spawn_local
+
+    codes = spawn_local(
+        [*TRAIN, *base, *extra, "--cpu-devices", "2"],
+        4, timeout=420, stdout_paths=outs)
+    assert codes == [0] * 4, codes
+    with open(outs[0]) as f:
+        multi = json.loads(f.read().strip().splitlines()[-1])
+    single = _run_single_cmd(tmp_path, base + extra, devices=8)
+    assert multi["num_processes"] == 4
+    assert multi["num_devices"] == 8 == single["num_devices"]
+    assert multi["halo_drops"] == 0
+    np.testing.assert_allclose(multi["first_loss"], single["first_loss"],
+                               rtol=2e-3)
+    np.testing.assert_allclose(multi["final_loss"], single["final_loss"],
+                               rtol=2e-2)
+    assert multi["final_loss"] < multi["first_loss"]
+
+
+def test_multiprocess_cv_checkpoint_resume(tmp_path):
+    """Multi-process gcn_cv checkpoint/resume: every process writes its
+    dp-rows to a per-process ``.aux.p<pid>.npz`` shard file and resume
+    restores them (the round-3 gap: dp_trainer skipped the aux and warned).
+    Interrupted-and-resumed must reproduce the uninterrupted trajectory —
+    histories included, else the control-variate term diverges."""
+    import glob
+
+    cv = [c for c in COMMON]
+    cv[cv.index("--epochs") + 1] = "4"
+    cv += ["--arch", "gcn_cv", "--preprocess", "--feature-source", "cache"]
+
+    ck_full = str(tmp_path / "ck_full")
+    full = _run_multi_cmd(tmp_path, cv + ["--ckpt-dir", ck_full,
+                                          "--ckpt-every", "2"])
+    # per-process shard files exist for both processes at both checkpoints
+    for ep in (1, 3):
+        files = sorted(glob.glob(f"{ck_full}/gcn_cv_{ep}.aux.p*.npz"))
+        assert len(files) == 2, files
+
+    ck = str(tmp_path / "ck_resume")
+    first = [c for c in cv]
+    first[first.index("--epochs") + 1] = "2"
+    _run_multi_cmd(tmp_path, first + ["--ckpt-dir", ck,
+                                      "--ckpt-every", "2"])
+    resumed = _run_multi_cmd(tmp_path, cv + ["--ckpt-dir", ck,
+                                             "--ckpt-every", "2",
+                                             "--resume"])
+    assert resumed["epochs"] == 2            # epochs 2..3 only
+    np.testing.assert_allclose(resumed["final_loss"], full["final_loss"],
+                               rtol=1e-4)
 
 
 def test_multiprocess_ici_host_pipeline_matches_single(tmp_path):

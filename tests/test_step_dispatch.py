@@ -41,24 +41,29 @@ def test_steps_matches_scan_trajectory(ds, paired):
     import jax
 
     trained = {}
-    for mode in ("scan", "steps"):
+    for mode in ("scan", "steps", "pipelined"):
         tr = Trainer.from_dataset(_cfg(mode, paired), ds, seed=0)
         tr.train(3)
         trained[mode] = tr
-    a, b = trained["scan"], trained["steps"]
-    assert b._step_mode and not a._step_mode
-    for ea, eb in zip(a.epoch_metrics, b.epoch_metrics):
-        assert ea.num_batches == eb.num_batches
-        assert ea.edges == eb.edges
-        assert ea.vertices == eb.vertices
-        np.testing.assert_allclose(ea.mean_loss, eb.mean_loss, rtol=1e-5)
-        np.testing.assert_allclose(ea.mean_acc, eb.mean_acc, rtol=1e-5)
+    a = trained["scan"]
+    assert trained["steps"]._step_mode and not a._step_mode
+    assert trained["pipelined"]._pipelined_mode
     pa = jax.device_get(a.state.params)
-    pb = jax.device_get(b.state.params)
-    jax.tree.map(
-        lambda x, y: np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6),
-        pa, pb)
-    assert int(jax.device_get(b.state.step)) == 3 * a.epoch_metrics[0].num_batches
+    for mode in ("steps", "pipelined"):
+        b = trained[mode]
+        for ea, eb in zip(a.epoch_metrics, b.epoch_metrics):
+            assert ea.num_batches == eb.num_batches
+            assert ea.edges == eb.edges
+            assert ea.vertices == eb.vertices
+            np.testing.assert_allclose(ea.mean_loss, eb.mean_loss, rtol=1e-5)
+            np.testing.assert_allclose(ea.mean_acc, eb.mean_acc, rtol=1e-5)
+        pb = jax.device_get(b.state.params)
+        jax.tree.map(
+            lambda x, y: np.testing.assert_allclose(x, y, rtol=1e-5,
+                                                    atol=1e-6),
+            pa, pb)
+        assert (int(jax.device_get(b.state.step))
+                == 3 * a.epoch_metrics[0].num_batches)
 
 
 def test_steps_loss_decreases(ds):
