@@ -192,11 +192,16 @@ class TrainConfig:
                                       # way), or "pipelined" (two dispatches
                                       # per minibatch: a state-INDEPENDENT
                                       # sample+gather enqueued one batch
-                                      # ahead, then the state-chained
-                                      # fwd/bwd/Adam — adjacent dispatches
-                                      # overlap, recovering the phase
-                                      # serialization the scan cannot hide;
-                                      # trajectory identical to scan/steps).
+                                      # ahead of the state-chained
+                                      # fwd/bwd/Adam; trajectory identical
+                                      # to scan/steps.  MEASURED SLOWER —
+                                      # 23.9 vs 21.6 ms/step at the
+                                      # leaderboard shape: the runtime
+                                      # executes dispatches serially, so
+                                      # the split only adds materialization
+                                      # — kept as the recorded pipelining
+                                      # experiment, see
+                                      # device_epoch.make_device_pipelined_fns).
                                       # "steps" is +2.6% at the [15,10,5]
                                       # b1024 h256 leaderboard shape and
                                       # compiles ~2.6x faster; a loss at

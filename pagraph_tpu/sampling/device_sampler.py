@@ -83,7 +83,16 @@ class DeviceCSR:
 
     @classmethod
     def from_graph(cls, graph: CSRGraph,
-                   device: Optional[jax.Device] = None) -> "DeviceCSR":
+                   device: Optional[jax.Device] = None, *,
+                   paired: bool = False) -> "DeviceCSR":
+        """``paired=True`` additionally materializes the ``[E/8, 8]`` row
+        table FROM THE HOST (numpy reshape + device_put).  This matters:
+        a device-side ``reshape`` (``with_rows``, whether eager or in-jit)
+        gets a T(8,128)-tiled OUTPUT buffer — the 8-wide minor dim padded
+        to 128 lanes, 16x the logical bytes (33.8 GB at rmat25's 0.53B
+        edges, which OOMed the one-chip claim run) — while transferred
+        ARGUMENTS keep the compact layout (probe 2026-08-20: device_put of
+        s32[66M, 8] fits and gathers fine)."""
         if graph.num_edges >= np.iinfo(np.int32).max:
             raise ValueError(
                 f"{graph.num_edges} edges overflow int32 indptr; "
@@ -91,14 +100,20 @@ class DeviceCSR:
             )
         indptr32 = graph.indptr.astype(np.int32)
         indptr = jnp.asarray(indptr32)
-        indices = jnp.asarray(pad_indices(graph.indices))
+        padded = pad_indices(graph.indices)
+        indices = jnp.asarray(padded)
         pairs = jnp.asarray(
             np.stack([indptr32[:-1], np.diff(indptr32)], axis=1))
+        rows = (jnp.asarray(padded.reshape(-1, _ROW_W))
+                if paired and padded.shape[0] else None)
         if device is not None:
             indptr = jax.device_put(indptr, device)
             indices = jax.device_put(indices, device)
             pairs = jax.device_put(pairs, device)
-        return cls(indptr=indptr, indices=indices, ptr_pairs=pairs)
+            if rows is not None:
+                rows = jax.device_put(rows, device)
+        return cls(indptr=indptr, indices=indices, ptr_pairs=pairs,
+                   indices_rows=rows)
 
     def nbytes(self) -> int:
         n = 4 * (int(self.indptr.shape[0]) + int(self.indices.shape[0]))

@@ -231,23 +231,27 @@ def make_device_pipelined_fns(cfg: Config, tx: optax.GradientTransformation,
     precomputed seed/key schedule and a device-side batch counter) and one
     state-chained ``train_fn`` dispatch (fwd/bwd/Adam/metrics).
 
-    Why (VERDICT r3 #3): the whole-epoch scan serializes batch i+1's
-    sample+gather behind batch i's fwd/bwd even though no dataflow connects
-    them (draws are key-driven; the gather reads only the immutable cache)
-    — ~3 ms/step of phase serialization at the [15,10,5]/b1024/h256
-    leaderboard shape (BENCH_NOTES "DCE-proof attribution").  ``scan_unroll``
-    cannot recover it: inside one program, buffer assignment reuses the big
-    gather scratch across unrolled steps, re-introducing the serialization
-    as a write-after-read hazard.  Separate dispatches get separate
-    allocations, and the TPU runtime demonstrably overlaps adjacent
-    enqueued programs (the 15.5–17.6 ms "independent dispatches" band, same
-    BENCH_NOTES entry).  The driver enqueues ``gather(i+1)`` BEFORE
-    ``train(i)`` so the gather is already in flight while batch i trains.
+    Built to attack the ~3 ms/step of apparent phase serialization at the
+    [15,10,5]/b1024/h256 leaderboard shape (VERDICT r3 #3, BENCH_NOTES
+    "DCE-proof attribution"): sample+gather are key-driven and state-
+    independent, so splitting them into their own dispatch enqueued one
+    batch ahead *would* overlap them with the previous batch's fwd/bwd —
+    IF the runtime overlapped adjacent enqueued programs.
 
-    Unlike the delayed-gradient design this was scoped as, NO semantics
-    change is needed: the trajectory is bit-identical to ``scan``/``steps``
-    mode (same schedule builder, same per-step rng handling — pinned by
-    tests/test_step_dispatch.py).
+    **Measured outcome (2026-08-20, BENCH_NOTES "pipelining dead end,
+    settled"): it does not.**  This mode runs 23.9 ms/step vs 21.6 for
+    ``steps``/``scan`` at the leaderboard shape — execution across
+    dispatches is serial, so the split only adds the fused-buffer
+    materialization and a second dispatch per batch.  A two-rail
+    delayed-gradient probe (two alternating optimizer states, adjacent
+    dispatches FULLY independent — the strongest possible decoupling)
+    measured 21.66 vs 21.64 ms/step: no overlap exists to unlock, and the
+    earlier 15.5–17.6 ms "independent dispatches" band was a harness
+    artifact.  ~21.6 ms/step is the genuine serial floor for this shape.
+    The mode is kept as a correct, tested, honestly-documented record of
+    the experiment (trajectory bit-identical to ``scan``/``steps`` — same
+    schedule builder, same rng handling, pinned by
+    tests/test_step_dispatch.py); it is NOT recommended for production.
 
     Returns ``(prepare_fn, gather_fn, train_fn)``::
 

@@ -99,7 +99,12 @@ class Trainer:
             def put(x):
                 return jax.device_put(x, device) if device else jnp.asarray(x)
 
-            self._dev_csr = DeviceCSR.from_graph(local_graph, device)
+            # paired: the [E/8, 8] row table is built host-side and
+            # transferred ONCE, for EVERY dispatch mode — a device-side
+            # reshape (with_rows) gets a T(8,128)-tiled output buffer, 16x
+            # the logical bytes (DeviceCSR.from_graph docstring)
+            self._dev_csr = DeviceCSR.from_graph(
+                local_graph, device, paired=cfg.sampler.paired_draws)
             self._dev_train_nids = put(train_nids.astype(np.int32))
             self._dev_labels = put(np.asarray(labels, dtype=np.int32))
             self.sampler = None
@@ -150,11 +155,6 @@ class Trainer:
                 )
             elif self._step_mode:
                 from .device_epoch import make_device_step_fns
-                if cfg.sampler.paired_draws:
-                    # materialize the [E/8, 8] row view ONCE, outside jit —
-                    # reshaping per step dispatch would re-tile it every
-                    # step (the 6.8M-edges/s regression, CLAUDE.md)
-                    self._dev_csr = self._dev_csr.with_rows()
                 self._prepare_fn, self._step_fn = make_device_step_fns(
                     cfg, self._tx, self.cache.field_offsets,
                     dequant_scale=self.cache.dequant_scale_padded,
@@ -163,8 +163,6 @@ class Trainer:
                                       // cfg.sampler.batch_size)
             elif self._pipelined_mode:
                 from .device_epoch import make_device_pipelined_fns
-                if cfg.sampler.paired_draws:
-                    self._dev_csr = self._dev_csr.with_rows()
                 (self._prepare_fn, self._gather_fn,
                  self._train_fn) = make_device_pipelined_fns(
                     cfg, self._tx, self.cache.field_offsets,
@@ -278,11 +276,39 @@ class Trainer:
                 f"across chips."
             )
         self._cache_filled = True
+        if self._device_mode:
+            self._drain_pending_h2d()
         if self.log:
             print(
                 f"[cache] capacity={self.cache.capacity} vertices "
                 f"({'full' if self.cache.fully_cached else 'partial'})"
             )
+
+    def _drain_pending_h2d(self) -> None:
+        """Force the async H2D transfers of the big device-resident inputs
+        (cache, CSR, row table) to complete BEFORE the first epoch dispatch.
+
+        ``jax.device_put`` is async; over the axon tunnel the multi-GB
+        transfers otherwise drain DURING the first dispatched epoch and get
+        misattributed to it (the rmat25 run: "epoch 1: 237 s" with exactly
+        one compile in the JAX_LOG_COMPILES log — and in hindsight the
+        round-3 "second dispatch recompiled, 275 s / 155 s" entries carry
+        the same signature).  ``block_until_ready`` is not reliable on axon
+        (CLAUDE.md), so fetch one element of each array instead — the D2H
+        read cannot complete before the H2D it depends on."""
+        arrs = [self.cache.cache_values, self._dev_csr.indices,
+                self._dev_csr.indptr, self._dev_labels,
+                self._dev_train_nids]
+        for a in (self._dev_csr.indices_rows, self._dev_csr.ptr_pairs):
+            if a is not None:
+                arrs.append(a)
+        t0 = time.perf_counter()
+        for a in arrs:
+            if a.size:
+                np.asarray(a[(0,) * a.ndim])
+        if self.log:
+            print(f"[h2d] device inputs resident "
+                  f"({time.perf_counter()-t0:.1f}s drain)")
 
     def run_epoch(self, epoch: int = 0) -> EpochMetrics:
         if self._device_mode:

@@ -48,6 +48,13 @@ def test_steps_matches_scan_trajectory(ds, paired):
     a = trained["scan"]
     assert trained["steps"]._step_mode and not a._step_mode
     assert trained["pipelined"]._pipelined_mode
+    if paired:
+        # the [E/8, 8] row table must be materialized OUTSIDE jit in EVERY
+        # dispatch mode: inside jit the reshape output gets a T(8,128)
+        # tiled layout — 16x HBM (33.8 GB at rmat25, OOMed the one-chip
+        # claim run before this was hoisted)
+        for tr in trained.values():
+            assert tr._dev_csr.indices_rows is not None
     pa = jax.device_get(a.state.params)
     for mode in ("steps", "pipelined"):
         b = trained[mode]
