@@ -147,6 +147,11 @@ def _hit_path_probe(tr, K: int = 17) -> dict:
                           tr.cache.cache_values, tr.cache.cache_map_dev)
 
     state, accb = once(state, accb)          # compile (bucket may be new)
+    float(np.asarray(accb[0]))   # sync: drain the compile AND any work the
+    #                              trainer's last epoch left in the queue —
+    #                              without this t1 absorbs the backlog and
+    #                              the differencing clamps to 0 (seen in the
+    #                              r4 ordering A/B)
     t0 = time.perf_counter()
     state, accb = once(state, accb)
     float(np.asarray(accb[0]))
