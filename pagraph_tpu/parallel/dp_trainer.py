@@ -311,6 +311,18 @@ class DataParallelTrainer:
         put = lambda x: place_dp(x, self.mesh)
         self._dev_indptr = put(indptr)
         self._dev_indices = put(indices)
+        # narrow-minor-dim derived tables are built on the HOST and
+        # transferred: a device-side stack/reshape output gets a
+        # T(8,128)-tiled layout — minor dim 2 padded to 128 (64x) / 8 to
+        # 128 (16x) — which OOMs real chips at scale (the rmat25 lesson,
+        # DeviceCSR.from_graph docstring).  Arguments stay compact.
+        pairs = np.stack([indptr[:, :-1], np.diff(indptr, axis=1)], axis=-1)
+        self._dev_ptr_pairs = put(np.ascontiguousarray(pairs))
+        if self.cfg.sampler.paired_draws:
+            rows = indices.reshape(D, max_e // 8, 8)
+        else:
+            rows = np.zeros((D, 1, 8), dtype=np.int32)   # unused placeholder
+        self._dev_rows = put(np.ascontiguousarray(rows))
         self._dev_train_nids = put(train_nids)
         self._dev_counts = put(counts)
         self._dev_labels = put(labels)
@@ -524,8 +536,16 @@ class DataParallelTrainer:
             raise ValueError("full-graph edge count overflows int32")
         put_rep = lambda x: place_replicated(np.asarray(x), self.mesh)
         from ..sampling.device_sampler import pad_indices
-        self._dev_indptr = put_rep(g.indptr.astype(np.int32))
-        self._dev_indices = put_rep(pad_indices(g.indices))
+        indptr32 = g.indptr.astype(np.int32)
+        padded = pad_indices(g.indices)
+        self._dev_indptr = put_rep(indptr32)
+        self._dev_indices = put_rep(padded)
+        # host-built (see _stack_partition_structure comment)
+        self._dev_ptr_pairs = put_rep(
+            np.stack([indptr32[:-1], np.diff(indptr32)], axis=1))
+        self._dev_rows = put_rep(
+            padded.reshape(-1, 8) if self.cfg.sampler.paired_draws
+            else np.zeros((1, 8), dtype=np.int32))
         self._dev_train_nids = put_rep(
             np.asarray(self._full_train_nids, dtype=np.int32))
         self._dev_labels = put_rep(
@@ -893,6 +913,7 @@ class DataParallelTrainer:
                     self.state, self._dev_hists, self._dev_aggs, key,
                     self._dev_train_nids, self._dev_counts,
                     self._dev_labels, self._dev_indptr, self._dev_indices,
+                    self._dev_ptr_pairs, self._dev_rows,
                     self._dev_local2full, self._feat_shards,
                     self._dev_esrc, self._dev_edst, self._dev_invdeg,
                 )
@@ -901,7 +922,8 @@ class DataParallelTrainer:
              acc) = self.epoch_fn(
                 self.state, self._dev_hists, self._dev_aggs, key,
                 self._dev_train_nids, self._dev_counts, self._dev_labels,
-                self._dev_indptr, self._dev_indices, self._cache_stacked,
+                self._dev_indptr, self._dev_indices, self._dev_ptr_pairs,
+                self._dev_rows, self._cache_stacked,
                 self._dev_esrc, self._dev_edst, self._dev_invdeg,
             )
             return acc
@@ -909,19 +931,21 @@ class DataParallelTrainer:
             self.state, acc = self.epoch_fn(
                 self.state, key, self._dev_train_nids,
                 self._dev_labels, self._dev_indptr, self._dev_indices,
-                self._feat_shards,
+                self._dev_ptr_pairs, self._dev_rows, self._feat_shards,
             )
         elif self.feature_source == "edge":
             self.state, acc = self.epoch_fn(
                 self.state, key, self._dev_train_nids, self._dev_counts,
                 self._dev_labels, self._dev_indptr, self._dev_indices,
+                self._dev_ptr_pairs, self._dev_rows,
                 self._dev_local2full, self._feat_shards,
             )
         else:
             self.state, acc = self.epoch_fn(
                 self.state, key, self._dev_train_nids,
                 self._dev_counts, self._dev_labels, self._dev_indptr,
-                self._dev_indices, self._cache_stacked,
+                self._dev_indices, self._dev_ptr_pairs, self._dev_rows,
+                self._cache_stacked,
             )
         return acc
 

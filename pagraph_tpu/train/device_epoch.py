@@ -375,14 +375,18 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     def per_device_epoch(state: TrainState, epoch_key: jax.Array,
                          train_nids: jax.Array, train_count: jax.Array,
                          labels: jax.Array, indptr: jax.Array,
-                         indices: jax.Array, cache_values: jax.Array):
+                         indices: jax.Array, ptr_pairs: jax.Array,
+                         rows: jax.Array, cache_values: jax.Array):
         metrics_acc = jnp.zeros(5, dtype=jnp.float32)
         # drop the size-1 leading device axis inside the shard
         train_nids, train_count = train_nids[0], train_count[0]
         labels, cache_values = labels[0], cache_values[0]
-        csr = DeviceCSR(indptr=indptr[0], indices=indices[0]).with_pairs()
-        if paired:
-            csr = csr.with_rows()   # once per dispatch, OUTSIDE the scan
+        # ptr_pairs/rows are HOST-built arguments: deriving them in-jit
+        # gives the narrow-minor-dim outputs a T(8,128)-tiled (padded)
+        # layout — 16-64x the logical HBM at scale (the rmat25 lesson)
+        csr = DeviceCSR(indptr=indptr[0], indices=indices[0],
+                        ptr_pairs=ptr_pairs[0],
+                        indices_rows=rows[0] if paired else None)
         rank = jax.lax.axis_index(axis)
         key = jax.random.fold_in(epoch_key, rank)
         perm_key, sample_key = jax.random.split(key)
@@ -453,17 +457,17 @@ def make_dp_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         return state, metrics_acc
 
     def epoch(state, epoch_key, train_nids, train_counts, labels, indptr,
-              indices, cache_values):
+              indices, ptr_pairs, rows, cache_values):
         fn = shard_map(
             per_device_epoch,
             mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis),
-                      P(axis), P(axis)),
+                      P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(), P()),
             check_vma=False,
         )
         return fn(state, epoch_key, train_nids, train_counts,
-                  labels, indptr, indices, cache_values)
+                  labels, indptr, indices, ptr_pairs, rows, cache_values)
 
     return jax.jit(epoch, donate_argnames=("state",))
 
@@ -514,11 +518,13 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     def per_device_epoch(state: TrainState, epoch_key: jax.Array,
                          train_nids: jax.Array, labels: jax.Array,
                          indptr: jax.Array, indices: jax.Array,
+                         ptr_pairs: jax.Array, rows: jax.Array,
                          feat_shard: jax.Array):
         metrics_acc = jnp.zeros(6, dtype=jnp.float32)
-        csr = DeviceCSR(indptr=indptr, indices=indices).with_pairs()
-        if paired:
-            csr = csr.with_rows()   # once per dispatch, OUTSIDE the scan
+        # host-built ptr_pairs/rows: see make_dp_device_epoch_fn
+        csr = DeviceCSR(indptr=indptr, indices=indices,
+                        ptr_pairs=ptr_pairs,
+                        indices_rows=rows if paired else None)
         feat_shard = feat_shard[0]            # [shard_rows, dim] my slice
         rank = jax.lax.axis_index(axis)
         # SHARED permutation (same replicated key on every chip): chip r
@@ -595,16 +601,16 @@ def make_ici_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         return state, metrics_acc
 
     def epoch(state, epoch_key, train_nids, labels, indptr, indices,
-              feat_shards):
+              ptr_pairs, rows, feat_shards):
         fn = shard_map(
             per_device_epoch,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(), P(axis)),
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(axis)),
             out_specs=(P(), P()),
             check_vma=False,
         )
         return fn(state, epoch_key, train_nids, labels,
-                  indptr, indices, feat_shards)
+                  indptr, indices, ptr_pairs, rows, feat_shards)
 
     return jax.jit(epoch, donate_argnames=("state",))
 
@@ -666,15 +672,17 @@ def make_edge_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     def per_device_epoch(state: TrainState, epoch_key: jax.Array,
                          train_nids: jax.Array, train_count: jax.Array,
                          labels: jax.Array, indptr: jax.Array,
-                         indices: jax.Array, local2full: jax.Array,
+                         indices: jax.Array, ptr_pairs: jax.Array,
+                         rows: jax.Array, local2full: jax.Array,
                          feat_shard: jax.Array):
         metrics_acc = jnp.zeros(6, dtype=jnp.float32)
         train_nids, train_count = train_nids[0], train_count[0]
         labels, local2full = labels[0], local2full[0]
         feat_shard = feat_shard[0]
-        csr = DeviceCSR(indptr=indptr[0], indices=indices[0]).with_pairs()
-        if paired:
-            csr = csr.with_rows()   # once per dispatch, OUTSIDE the scan
+        # host-built ptr_pairs/rows: see make_dp_device_epoch_fn
+        csr = DeviceCSR(indptr=indptr[0], indices=indices[0],
+                        ptr_pairs=ptr_pairs[0],
+                        indices_rows=rows[0] if paired else None)
         rank = jax.lax.axis_index(axis)
         key = jax.random.fold_in(epoch_key, rank)
         perm_key, sample_key = jax.random.split(key)
@@ -777,17 +785,18 @@ def make_edge_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         return state, metrics_acc
 
     def epoch(state, epoch_key, train_nids, train_counts, labels, indptr,
-              indices, local2full, feat_shards):
+              indices, ptr_pairs, rows, local2full, feat_shards):
         fn = shard_map(
             per_device_epoch,
             mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis),
-                      P(axis), P(axis), P(axis)),
+                      P(axis), P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(), P()),
             check_vma=False,
         )
         return fn(state, epoch_key, train_nids, train_counts,
-                  labels, indptr, indices, local2full, feat_shards)
+                  labels, indptr, indices, ptr_pairs, rows, local2full,
+                  feat_shards)
 
     return jax.jit(epoch, donate_argnames=("state",))
 
@@ -827,17 +836,18 @@ def make_dp_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     paired = cfg.sampler.paired_draws
 
     def per_device_epoch(state, epoch_key, hists, aggs, train_nids,
-                         train_count, labels, indptr, indices, cache_values,
-                         edge_src, edge_dst, inv_deg):
+                         train_count, labels, indptr, indices, ptr_pairs,
+                         rows, cache_values, edge_src, edge_dst, inv_deg):
         metrics_acc = jnp.zeros(5, dtype=jnp.float32)
         train_nids, train_count = train_nids[0], train_count[0]
         labels, cache_values = labels[0], cache_values[0]
         hists = tuple(h[0] for h in hists)
         aggs = tuple(a[0] for a in aggs)
         edge_src, edge_dst, inv_deg = edge_src[0], edge_dst[0], inv_deg[0]
-        csr = DeviceCSR(indptr=indptr[0], indices=indices[0]).with_pairs()
-        if paired:
-            csr = csr.with_rows()   # once per dispatch, OUTSIDE the scan
+        # host-built ptr_pairs/rows: see make_dp_device_epoch_fn
+        csr = DeviceCSR(indptr=indptr[0], indices=indices[0],
+                        ptr_pairs=ptr_pairs[0],
+                        indices_rows=rows[0] if paired else None)
         rank = jax.lax.axis_index(axis)
         key = jax.random.fold_in(epoch_key, rank)
         perm_key, sample_key = jax.random.split(key)
@@ -923,19 +933,20 @@ def make_dp_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                 tuple(a[None] for a in aggs), metrics_acc)
 
     def epoch(state, hists, aggs, epoch_key, train_nids, train_counts,
-              labels, indptr, indices, cache_values, edge_src, edge_dst,
-              inv_deg):
+              labels, indptr, indices, ptr_pairs, rows, cache_values,
+              edge_src, edge_dst, inv_deg):
         fn = shard_map(
             per_device_epoch,
             mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
-                      P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+                      P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(axis)),
             out_specs=(P(), P(axis), P(axis), P()),
             check_vma=False,
         )
         return fn(state, epoch_key, hists, aggs, train_nids, train_counts,
-                  labels, indptr, indices, cache_values, edge_src, edge_dst,
-                  inv_deg)
+                  labels, indptr, indices, ptr_pairs, rows, cache_values,
+                  edge_src, edge_dst, inv_deg)
 
     return jax.jit(epoch, donate_argnames=("state", "hists", "aggs"))
 
@@ -985,8 +996,9 @@ def make_edge_cv_device_epoch_fn(cfg: Config,
     D = mesh.devices.size
 
     def per_device_epoch(state, epoch_key, hists, aggs, train_nids,
-                         train_count, labels, indptr, indices, local2full,
-                         feat_shard, edge_src, edge_dst, inv_deg):
+                         train_count, labels, indptr, indices, ptr_pairs,
+                         rows, local2full, feat_shard, edge_src, edge_dst,
+                         inv_deg):
         metrics_acc = jnp.zeros(6, dtype=jnp.float32)
         train_nids, train_count = train_nids[0], train_count[0]
         labels, local2full = labels[0], local2full[0]
@@ -994,9 +1006,10 @@ def make_edge_cv_device_epoch_fn(cfg: Config,
         hists = tuple(h[0] for h in hists)
         aggs = tuple(a[0] for a in aggs)
         edge_src, edge_dst, inv_deg = edge_src[0], edge_dst[0], inv_deg[0]
-        csr = DeviceCSR(indptr=indptr[0], indices=indices[0]).with_pairs()
-        if paired:
-            csr = csr.with_rows()
+        # host-built ptr_pairs/rows: see make_dp_device_epoch_fn
+        csr = DeviceCSR(indptr=indptr[0], indices=indices[0],
+                        ptr_pairs=ptr_pairs[0],
+                        indices_rows=rows[0] if paired else None)
         rank = jax.lax.axis_index(axis)
         key = jax.random.fold_in(epoch_key, rank)
         perm_key, sample_key = jax.random.split(key)
@@ -1088,20 +1101,20 @@ def make_edge_cv_device_epoch_fn(cfg: Config,
                 tuple(a[None] for a in aggs), metrics_acc)
 
     def epoch(state, hists, aggs, epoch_key, train_nids, train_counts,
-              labels, indptr, indices, local2full, feat_shards, edge_src,
-              edge_dst, inv_deg):
+              labels, indptr, indices, ptr_pairs, rows, local2full,
+              feat_shards, edge_src, edge_dst, inv_deg):
         fn = shard_map(
             per_device_epoch,
             mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
                       P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                      P(axis)),
+                      P(axis), P(axis), P(axis)),
             out_specs=(P(), P(axis), P(axis), P()),
             check_vma=False,
         )
         return fn(state, epoch_key, hists, aggs, train_nids, train_counts,
-                  labels, indptr, indices, local2full, feat_shards,
-                  edge_src, edge_dst, inv_deg)
+                  labels, indptr, indices, ptr_pairs, rows, local2full,
+                  feat_shards, edge_src, edge_dst, inv_deg)
 
     return jax.jit(epoch, donate_argnames=("state", "hists", "aggs"))
 
