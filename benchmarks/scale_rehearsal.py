@@ -73,21 +73,41 @@ def main():
 
     timings = {}
 
+    cache_dir = os.path.expanduser(
+        f"~/.cache/pagraph_tpu_bench/rehearsal{args.scale}"
+        f"x{args.edge_factor}_{args.feat}")
     t0 = time.time()
-    coo = rmat_coo(args.scale, args.edge_factor, seed=11)
-    timings["rmat_gen_s"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    graph = CSRGraph.from_coo(coo)
-    del coo
-    timings["csr_build_s"] = round(time.time() - t0, 1)
-    n, e = graph.num_nodes, graph.num_edges
-    log(f"[rehearsal] graph: {n:,} v, {e:,} e "
-        f"(gen {timings['rmat_gen_s']}s, csr {timings['csr_build_s']}s)")
-
-    t0 = time.time()
-    feats = parallel_random((n, args.feat), seed=13)
-    from benchmarks.scale_demo import _teacher_labels
-    labels = _teacher_labels(graph, feats)
+    if os.path.exists(os.path.join(cache_dir, "ok")):
+        ld = lambda nm: np.load(os.path.join(cache_dir, nm + ".npy"))
+        graph = CSRGraph(ld("indptr"), ld("indices"), ld("out_degrees"))
+        feats, labels = ld("feat"), ld("labels_nbr")
+        timings["rmat_gen_s"] = timings["csr_build_s"] = 0.0
+        timings["cache_load_s"] = round(time.time() - t0, 1)
+        n, e = graph.num_nodes, graph.num_edges
+        log(f"[rehearsal] loaded cached graph in "
+            f"{timings['cache_load_s']}s: {n:,} v, {e:,} e")
+        t0 = time.time()
+    else:
+        coo = rmat_coo(args.scale, args.edge_factor, seed=11)
+        timings["rmat_gen_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        graph = CSRGraph.from_coo(coo)
+        del coo
+        timings["csr_build_s"] = round(time.time() - t0, 1)
+        n, e = graph.num_nodes, graph.num_edges
+        log(f"[rehearsal] graph: {n:,} v, {e:,} e "
+            f"(gen {timings['rmat_gen_s']}s, csr {timings['csr_build_s']}s)")
+        t0 = time.time()
+        feats = parallel_random((n, args.feat), seed=13)
+        from benchmarks.scale_demo import _teacher_labels
+        labels = _teacher_labels(graph, feats)
+        os.makedirs(cache_dir, exist_ok=True)
+        for nm, arr in [("indptr", graph.indptr),
+                        ("indices", graph.indices),
+                        ("out_degrees", graph.out_degrees),
+                        ("feat", feats), ("labels_nbr", labels)]:
+            np.save(os.path.join(cache_dir, nm + ".npy"), arr)
+        open(os.path.join(cache_dir, "ok"), "w").write("ok")
     train, val, test = random_split_masks(n, train_frac=args.train_frac,
                                           seed=14)
     ds = Dataset(graph, feats, labels, train, val, test)
