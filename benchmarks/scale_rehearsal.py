@@ -46,6 +46,11 @@ def main():
     p.add_argument("--edge-balance", action="store_true",
                    help="dg: balance partition edge footprints (in_deg+1 "
                         "weights) — the skew mitigation under audit here")
+    p.add_argument("--data-dir", default=None,
+                   help="existing dataset cache dir (indptr/indices/"
+                        "out_degrees/feat/labels_nbr .npy + ok marker) to "
+                        "reuse instead of the per-recipe cache — e.g. "
+                        "scale_demo's scale25_64")
     p.add_argument("--hops", type=int, default=1,
                    help="partition closure depth == sampled hops (model "
                         "gets hops+1 GNN layers under preprocess). hops=2 "
@@ -73,7 +78,7 @@ def main():
 
     timings = {}
 
-    cache_dir = os.path.expanduser(
+    cache_dir = args.data_dir or os.path.expanduser(
         f"~/.cache/pagraph_tpu_bench/rehearsal{args.scale}"
         f"x{args.edge_factor}_{args.feat}")
     t0 = time.time()
