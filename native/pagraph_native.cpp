@@ -16,6 +16,8 @@
 // Layer dedup keeps first-occurrence order, so the dst set occupies the
 // prefix of the src layer (the subset invariant the models rely on).
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -284,6 +286,267 @@ int pg_dg_assign(const int64_t* indptr, const int32_t* indices,
     r_vnum[pick] += fresh;
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Offline-pipeline kernels (round 5): the dataset/partition phases that were
+// numpy-bound at 0.5B+ edges (SCALE_r04: rmat gen 2,570 s, closure extraction
+// 2,112 s at rmat24x32).  These are the papers100M-scale enablers for
+// BASELINE config #5 — the reference gets the equivalents from PaRMAT and
+// DGL's C++ sampler (reference: README.md:36-41, PaGraph/partition/utils.py:9-52).
+
+// R-MAT edge generation: m directed edges over 2^scale vertices, Graph500
+// quadrant descent.  Each edge owns an independent splitmix64 stream, so the
+// draw order is deterministic and parallel.  Self-loops are re-drawn (up to
+// 32 attempts, then the dst low bit is flipped) so exactly m edges emerge;
+// the numpy generator (data/synthetic.py:rmat_coo) instead filters them out.
+// Duplicate edges remain (removed at CSR build, like the COO->CSR round trip).
+void pg_rmat_gen(int32_t scale, int64_t m, double a, double b, double c,
+                 uint64_t seed, int32_t* src, int32_t* dst) {
+  const uint64_t ta = (uint64_t)(a * 18446744073709551616.0);
+  const uint64_t tab = (uint64_t)((a + b) * 18446744073709551616.0);
+  const uint64_t tabc = (uint64_t)((a + b + c) * 18446744073709551616.0);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < m; ++i) {
+    uint64_t s = seed ^ splitmix64((uint64_t)i * 0x9E3779B97F4A7C15ULL + 1);
+    int32_t u = 0, v = 0;
+    for (int attempt = 0; attempt < 32; ++attempt) {
+      u = 0; v = 0;
+      for (int32_t bit = 0; bit < scale; ++bit) {
+        s = splitmix64(s);
+        const uint64_t r = s;
+        const int32_t sb = r >= tab ? 1 : 0;
+        const int32_t db = ((r >= ta && r < tab) || r >= tabc) ? 1 : 0;
+        u = (u << 1) | sb;
+        v = (v << 1) | db;
+      }
+      if (u != v) break;
+    }
+    if (u == v) v ^= 1;
+    src[i] = u;
+    dst[i] = v;
+  }
+}
+
+// Uniform random int8 in [-127, 127] (the pre-quantized feature tier with
+// dequant scale 1/127 -> U[-1, 1]).  Independent stream per 8-byte block.
+void pg_random_i8(int64_t count, uint64_t seed, int8_t* out) {
+  const int64_t blocks = (count + 7) / 8;
+#pragma omp parallel for schedule(static)
+  for (int64_t blk = 0; blk < blocks; ++blk) {
+    uint64_t r = splitmix64(seed ^ ((uint64_t)blk * 0xD1B54A32D192ED03ULL + 7));
+    const int64_t lo = blk * 8, hi = std::min(lo + 8, count);
+    for (int64_t i = lo; i < hi; ++i) {
+      out[i] = (int8_t)((int32_t)((r & 0xFF)) % 255 - 127);
+      r >>= 8;
+    }
+  }
+}
+
+// COO (src -> dst) to in-CSR with per-row sort + dedup (scipy parity:
+// tocsr().sum_duplicates().sort_indices(), graph.py:from_coo).  Self-loops
+// kept iff drop_self == 0.  `indices` must have capacity m; rows are
+// compacted in place and the deduplicated edge count returned.  `cursor`
+// is int64 scratch [n].  Fills `out_deg` (source-occurrence histogram of the
+// deduplicated edges) when non-NULL.
+int64_t pg_coo_to_csr(const int32_t* src, const int32_t* dst, int64_t m,
+                      int64_t n, int32_t drop_self,
+                      int64_t* indptr, int32_t* indices, int64_t* cursor,
+                      int32_t* out_deg) {
+  std::atomic<int64_t>* counts =
+      reinterpret_cast<std::atomic<int64_t>*>(cursor);
+#pragma omp parallel for schedule(static)
+  for (int64_t v = 0; v < n; ++v) counts[v].store(0, std::memory_order_relaxed);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < m; ++i) {
+    if (drop_self && src[i] == dst[i]) continue;
+    counts[dst[i]].fetch_add(1, std::memory_order_relaxed);
+  }
+  indptr[0] = 0;
+  for (int64_t v = 0; v < n; ++v)
+    indptr[v + 1] = indptr[v] + cursor[v];
+#pragma omp parallel for schedule(static)
+  for (int64_t v = 0; v < n; ++v) counts[v].store(indptr[v], std::memory_order_relaxed);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < m; ++i) {
+    if (drop_self && src[i] == dst[i]) continue;
+    const int64_t pos = counts[dst[i]].fetch_add(1, std::memory_order_relaxed);
+    indices[pos] = src[i];
+  }
+  // Per-row sort + unique; new length recorded in cursor.
+#pragma omp parallel for schedule(dynamic, 4096)
+  for (int64_t v = 0; v < n; ++v) {
+    int32_t* lo = indices + indptr[v];
+    int32_t* hi = indices + indptr[v + 1];
+    std::sort(lo, hi);
+    cursor[v] = std::unique(lo, hi) - lo;
+  }
+  // Compact rows left.  SERIAL: a later row's new region can overlap an
+  // EARLIER row's not-yet-copied old region, so a parallel version races
+  // across thread boundaries; the sequential memmove is bandwidth-bound
+  // (~E*4 bytes) and cheap next to the sort pass.
+  std::vector<int64_t> new_start(n + 1);
+  new_start[0] = 0;
+  for (int64_t v = 0; v < n; ++v) new_start[v + 1] = new_start[v] + cursor[v];
+  for (int64_t v = 0; v < n; ++v) {
+    const int64_t cnt = cursor[v], from = indptr[v], to = new_start[v];
+    if (to != from && cnt > 0)
+      std::memmove(indices + to, indices + from, sizeof(int32_t) * cnt);
+  }
+  std::memcpy(indptr, new_start.data(), sizeof(int64_t) * (n + 1));
+  const int64_t e = new_start[n];
+  if (out_deg) {
+    std::atomic<int32_t>* od = reinterpret_cast<std::atomic<int32_t>*>(out_deg);
+#pragma omp parallel for schedule(static)
+    for (int64_t v = 0; v < n; ++v) od[v].store(0, std::memory_order_relaxed);
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < e; ++i)
+      od[indices[i]].fetch_add(1, std::memory_order_relaxed);
+  }
+  return e;
+}
+
+// Hop closure over the in-CSR: level-synchronous BFS from `seeds`, `hops`
+// levels, bitmap-visited (matches partition/utils.py:hop_closure — `visited`
+// after all levels, `interior` after hops-1 levels; reference
+// PaGraph/partition/utils.py:9-52 collects the same set via a DGL sampler).
+// Bitmaps are [ (n+63)/64 ] uint64, caller-zeroed.
+void pg_hop_closure(const int64_t* indptr, const int32_t* indices, int64_t n,
+                    const int64_t* seeds, int64_t num_seeds, int32_t hops,
+                    uint64_t* visited, uint64_t* interior) {
+  std::atomic<uint64_t>* vis =
+      reinterpret_cast<std::atomic<uint64_t>*>(visited);
+  std::vector<int32_t> frontier;
+  frontier.reserve(num_seeds);
+  for (int64_t i = 0; i < num_seeds; ++i) {
+    const int64_t v = seeds[i];
+    const uint64_t bit = 1ULL << (v & 63);
+    if (!(vis[v >> 6].fetch_or(bit, std::memory_order_relaxed) & bit))
+      frontier.push_back((int32_t)v);
+  }
+  const int64_t words = (n + 63) / 64;
+  std::vector<int32_t> next;
+  bool interior_done = false;
+  for (int32_t depth = 0; depth < hops; ++depth) {
+    next.clear();
+#pragma omp parallel
+    {
+      std::vector<int32_t> local;
+#pragma omp for schedule(dynamic, 1024) nowait
+      for (int64_t i = 0; i < (int64_t)frontier.size(); ++i) {
+        const int32_t v = frontier[i];
+        for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+          const int32_t u = indices[e];
+          const uint64_t bit = 1ULL << (u & 63);
+          if (!(vis[u >> 6].load(std::memory_order_relaxed) & bit)) {
+            if (!(vis[u >> 6].fetch_or(bit, std::memory_order_relaxed) & bit))
+              local.push_back(u);
+          }
+        }
+      }
+#pragma omp critical
+      next.insert(next.end(), local.begin(), local.end());
+    }
+    frontier.swap(next);
+    // interior = visited state after hops-1 expansion levels
+    if (depth == hops - 2) {
+      std::memcpy(interior, visited, sizeof(uint64_t) * words);
+      interior_done = true;
+    }
+    if (frontier.empty()) break;
+  }
+  if (hops == 1) {
+    // interior is exactly the seed set (the depth == hops-2 snapshot can
+    // never fire); the caller zeroes the buffer.
+    for (int64_t i = 0; i < num_seeds; ++i) {
+      const int64_t v = seeds[i];
+      interior[v >> 6] |= 1ULL << (v & 63);
+    }
+  } else if (!interior_done) {
+    // BFS exhausted before hops-1 levels: visited is final, so the numpy
+    // stream's interior == visited.
+    std::memcpy(interior, visited, sizeof(uint64_t) * words);
+  }
+}
+
+// Extract set bits of a bitmap as sorted int64 ids.  Returns the count.
+int64_t pg_bitmap_extract(const uint64_t* bm, int64_t words, int64_t* out) {
+  std::vector<int64_t> off(words + 1, 0);
+#pragma omp parallel for schedule(static)
+  for (int64_t w = 0; w < words; ++w)
+    off[w + 1] = __builtin_popcountll(bm[w]);
+  for (int64_t w = 0; w < words; ++w) off[w + 1] += off[w];
+#pragma omp parallel for schedule(static)
+  for (int64_t w = 0; w < words; ++w) {
+    uint64_t x = bm[w];
+    int64_t at = off[w];
+    while (x) {
+      out[at++] = (w << 6) + __builtin_ctzll(x);
+      x &= x - 1;
+    }
+  }
+  return off[words];
+}
+
+// Row remap for partition extraction: for each full-graph row r = rows[i],
+// map its in-neighbors through full2sub into out_indices starting at
+// out_starts[i].  Returns -1 if any neighbor is unmapped (closure violation).
+int pg_map_rows(const int64_t* indptr, const int32_t* indices,
+                const int32_t* full2sub, const int64_t* rows,
+                const int64_t* out_starts, int64_t num_rows,
+                int32_t* out_indices) {
+  std::atomic<int> bad(0);
+#pragma omp parallel for schedule(dynamic, 4096)
+  for (int64_t i = 0; i < num_rows; ++i) {
+    const int64_t r = rows[i];
+    int64_t at = out_starts[i];
+    for (int64_t e = indptr[r]; e < indptr[r + 1]; ++e) {
+      const int32_t s = full2sub[indices[e]];
+      if (s < 0) bad.store(1, std::memory_order_relaxed);
+      out_indices[at++] = s;
+    }
+  }
+  return bad.load() ? -1 : 0;
+}
+
+// Atomic histogram of int32 values (the out-degree count at sub-CSR scale,
+// where np.bincount over 1B+ elements is single-threaded).
+void pg_histogram_i32(const int32_t* values, int64_t count, int64_t nbins,
+                      int32_t* out) {
+  std::atomic<int32_t>* o = reinterpret_cast<std::atomic<int32_t>*>(out);
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < nbins; ++b) o[b].store(0, std::memory_order_relaxed);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < count; ++i)
+    o[values[i]].fetch_add(1, std::memory_order_relaxed);
+}
+
+// CSR mean-aggregate SpMM: out[v] = norm[v] * sum_{u in N_in(v)} x[u]
+// (the preprocess trick's offline pass, reference server/pa_server.py:45-52;
+// scipy's single-threaded SpMM was the store_build bottleneck at 0.5B edges).
+void pg_spmm_mean_f32(const int64_t* indptr, const int32_t* indices,
+                      int64_t n, const float* x, int64_t d,
+                      const float* norm, float* out) {
+#pragma omp parallel for schedule(dynamic, 4096)
+  for (int64_t v = 0; v < n; ++v) {
+    float* o = out + v * d;
+    std::memset(o, 0, sizeof(float) * d);
+    for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+      const float* row = x + (int64_t)indices[e] * d;
+      for (int64_t k = 0; k < d; ++k) o[k] += row[k];
+    }
+    const float nv = norm[v];
+    for (int64_t k = 0; k < d; ++k) o[k] *= nv;
+  }
+}
+
+// int8 row gather (the pre-quantized host tier's miss path).
+void pg_gather_rows_i8(const int8_t* src, int64_t num_rows, int64_t dim,
+                       const int64_t* ids, int64_t n, int8_t* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    std::memcpy(out + i * dim, src + ids[i] * dim, (size_t)dim);
+  }
 }
 
 }  // extern "C"

@@ -67,6 +67,43 @@ def rmat_coo(
     return spsp.coo_matrix((data, (dst, src)), shape=(n, n))
 
 
+def rmat_csr(
+    scale: int,
+    edge_factor: int = 16,
+    *,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 0,
+    backend: str = "auto",
+) -> CSRGraph:
+    """R-MAT graph straight to in-CSR — the papers100M-scale generation path.
+
+    ``backend="native"`` draws edges with the parallel C++ kernel
+    (``pg_rmat_gen``: per-edge splitmix64 streams; self-loops re-drawn
+    instead of filtered) and builds the deduplicated CSR with
+    ``pg_coo_to_csr`` — same R-MAT distribution as :func:`rmat_coo` but a
+    different RNG, so graphs are NOT bit-identical across backends (the
+    CSR builder itself is scipy-parity, tested).  numpy fallback = the
+    rmat_coo + from_coo path that cost 2,570 s + 99 s at rmat24x32
+    (SCALE_r04_hops2.json).
+    """
+    if backend == "auto":
+        try:
+            from ..sampling.native import get_lib
+            get_lib()
+            backend = "native"
+        except Exception:
+            backend = "numpy"
+    if backend == "native":
+        from ..sampling.native import coo_to_csr_native, rmat_edges_native
+        src, dst = rmat_edges_native(scale, (1 << scale) * edge_factor,
+                                     a=a, b=b, c=c, seed=seed)
+        return coo_to_csr_native(src, dst, 1 << scale)
+    return CSRGraph.from_coo(rmat_coo(scale, edge_factor, a=a, b=b, c=c,
+                                      seed=seed))
+
+
 def random_split_masks(
     num_nodes: int,
     *,

@@ -35,11 +35,30 @@ def _all_in_neighbors(graph: CSRGraph, nodes: np.ndarray) -> np.ndarray:
     return graph.indices[idx].astype(np.int64)
 
 
-def hop_closure(graph: CSRGraph, seeds: np.ndarray, hops: int
-                ) -> Tuple[np.ndarray, np.ndarray]:
+def _native_ok() -> bool:
+    try:
+        from ..sampling.native import get_lib
+        get_lib()
+        return True
+    except Exception:
+        return False
+
+
+def hop_closure(graph: CSRGraph, seeds: np.ndarray, hops: int,
+                *, backend: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
     """Return ``(closure_nodes, interior_nodes)``: all vertices within
     ``hops`` in-steps of ``seeds``, and those within ``hops - 1`` (the ones
-    whose full in-edge lists must be retained)."""
+    whose full in-edge lists must be retained).
+
+    ``backend="native"`` runs the identical BFS as a C++ bitmap kernel
+    (``pg_hop_closure``) — set-identical output (tests/test_native_pipeline),
+    needed at 0.5B+ edges where this phase cost 2,112 s in numpy
+    (SCALE_r04_hops2.json); ``auto`` prefers native."""
+    if backend == "auto":
+        backend = "native" if _native_ok() else "numpy"
+    if backend == "native" and hops > 0:
+        from ..sampling.native import hop_closure_native
+        return hop_closure_native(graph, seeds, hops)
     seeds = np.unique(np.asarray(seeds, dtype=np.int64))
     visited = seeds
     frontier = seeds
@@ -58,24 +77,40 @@ def extract_partition(
     train_nids: np.ndarray,
     labels: np.ndarray,
     hops: int,
+    *,
+    backend: str = "auto",
 ) -> PartitionArtifact:
     """Materialize one self-reliant partition: compact-relabel the closure,
-    keeping all in-edges of interior (depth < hops) vertices."""
-    closure, interior = hop_closure(graph, train_nids, hops)
+    keeping all in-edges of interior (depth < hops) vertices.
+
+    ``backend="native"`` runs the closure BFS, sub-CSR row fill, and
+    out-degree histogram as parallel C++ kernels — bit-identical artifacts
+    (tests/test_native_pipeline) at 0.5B+-edge scale."""
+    if backend == "auto":
+        backend = "native" if _native_ok() else "numpy"
+    closure, interior = hop_closure(graph, train_nids, hops, backend=backend)
     sub2full = closure                           # sorted unique
     full2sub = np.full(graph.num_nodes, -1, dtype=np.int64)
     full2sub[sub2full] = np.arange(len(sub2full))
 
     interior_local = full2sub[interior]
     counts = np.zeros(len(sub2full), dtype=np.int64)
-    nbrs = _all_in_neighbors(graph, interior)
     lens = (graph.indptr[interior + 1] - graph.indptr[interior]).astype(np.int64)
     counts[interior_local] = lens
     indptr = np.zeros(len(sub2full) + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
-    indices = full2sub[nbrs].astype(np.int32)
-    assert (indices >= 0).all(), "closure must contain all interior in-neighbors"
-    out_deg = np.bincount(indices, minlength=len(sub2full)).astype(np.int32)
+    if backend == "native":
+        from ..sampling.native import histogram_i32_native, map_rows_native
+        indices = map_rows_native(
+            graph, full2sub, interior, indptr[interior_local],
+            int(lens.sum()))
+        out_deg = histogram_i32_native(indices, len(sub2full))
+    else:
+        nbrs = _all_in_neighbors(graph, interior)
+        indices = full2sub[nbrs].astype(np.int32)
+        assert (indices >= 0).all(), \
+            "closure must contain all interior in-neighbors"
+        out_deg = np.bincount(indices, minlength=len(sub2full)).astype(np.int32)
     sub = CSRGraph(indptr=indptr, indices=indices, out_degrees=out_deg)
     local_train = full2sub[np.asarray(train_nids, dtype=np.int64)]
     return PartitionArtifact(

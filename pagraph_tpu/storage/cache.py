@@ -40,7 +40,12 @@ def compute_dequant_scale(store: FeatureStore, field_names: Sequence[str],
     per fused column (zero-variance columns get scale 1 so they quantize to
     exact 0).  One sequential chunked pass — memmap-friendly, so it works at
     store sizes that dwarf RAM.  The scale is store-wide (not cache-subset)
-    so cached rows and miss rows dequantize identically."""
+    so cached rows and miss rows dequantize identically.
+
+    Pre-quantized stores (int8 fields with stored scales) short-circuit to
+    the store's own fused scale — no pass over the data."""
+    if store.is_quantized(field_names):
+        return store.fused_scale(field_names)
     maxabs = np.zeros(store.total_dim(field_names), dtype=np.float32)
     offs = store.field_offsets(field_names)
     for name in field_names:
@@ -243,11 +248,16 @@ class FeatureCache:
             chosen = self.rank_vertices(rank_by)[:capacity].astype(np.int64)
         self.cache_map[:] = -1
         self.cache_map[chosen] = np.arange(len(chosen), dtype=np.int32)
-        host_rows = self.store.gather(self.field_names, self.local2full[chosen])
-        if self.np_dtype == np.int8:
-            host_rows = quantize_rows(host_rows, self.dequant_scale)
-        elif host_rows.dtype != self.np_dtype:
-            host_rows = host_rows.astype(self.np_dtype)
+        if self.np_dtype == np.int8 and self.store.is_quantized(self.field_names):
+            host_rows = self.store.gather(
+                self.field_names, self.local2full[chosen], quantized=True)
+        else:
+            host_rows = self.store.gather(self.field_names,
+                                          self.local2full[chosen])
+            if self.np_dtype == np.int8:
+                host_rows = quantize_rows(host_rows, self.dequant_scale)
+            elif host_rows.dtype != self.np_dtype:
+                host_rows = host_rows.astype(self.np_dtype)
         if self.padded_dim > self.total_dim:
             host_rows = np.pad(
                 host_rows, ((0, 0), (0, self.padded_dim - self.total_dim))
@@ -303,11 +313,19 @@ class FeatureCache:
                     out=miss_feats[:n_miss],
                 )
             elif self.np_dtype == np.int8:
-                miss_feats[:n_miss] = quantize_rows(
+                if self.store.is_quantized(self.field_names):
+                    # pre-quantized tier: gather int8 rows straight into the
+                    # transfer buffer (no f32 materialization, 4x fewer bytes
+                    # read from DRAM)
                     self.store.gather(self.field_names,
-                                      self.local2full[nids[miss_idx]]),
-                    self.dequant_scale,
-                )
+                                      self.local2full[nids[miss_idx]],
+                                      out=miss_feats[:n_miss], quantized=True)
+                else:
+                    miss_feats[:n_miss] = quantize_rows(
+                        self.store.gather(self.field_names,
+                                          self.local2full[nids[miss_idx]]),
+                        self.dequant_scale,
+                    )
             else:
                 miss_feats[:n_miss] = self.store.gather(
                     self.field_names, self.local2full[nids[miss_idx]]

@@ -156,3 +156,62 @@ def test_int8_dp_cache_device_mode(learn_ds):
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] + 0.2
     tr.close()
+
+
+def test_prequantized_store_tier():
+    """Pre-quantized host tier (round 5): int8-stored fields with scales.
+    Cache fill and miss rows are BIT-identical to the quantize-at-fill path
+    (same store-wide scale formula), and the f32 gather path dequantizes."""
+    from pagraph_tpu.graph import CSRGraph
+    from pagraph_tpu.storage.feature_store import quantize_store
+
+    rng = np.random.default_rng(7)
+    n, d = 256, 9
+    feats = (rng.normal(size=(n, d)) * 3).astype(np.float32)
+    g = CSRGraph(indptr=np.zeros(n + 1, dtype=np.int64),
+                 indices=np.zeros(0, dtype=np.int32),
+                 out_degrees=rng.integers(0, 50, n).astype(np.int32))
+    store_f32 = FeatureStore({"features": feats})
+    store_q = quantize_store(store_f32, chunk=100)
+    assert store_q.is_quantized(["features"])
+    assert store_q.fields["features"].dtype == np.int8
+
+    c_ref = FeatureCache(store_f32, ["features"], g, dtype="int8")
+    c_q = FeatureCache(store_q, ["features"], g, dtype="int8")
+    np.testing.assert_array_equal(c_q.dequant_scale, c_ref.dequant_scale)
+    c_ref.fill(capacity=100)
+    c_q.fill(capacity=100)
+    np.testing.assert_array_equal(np.asarray(c_q.cache_values),
+                                  np.asarray(c_ref.cache_values))
+
+    nids = rng.integers(0, n, size=48).astype(np.int32)
+    mask = np.ones(48, dtype=bool)
+    p_ref = c_ref.fetch_plan(nids, mask)
+    p_q = c_q.fetch_plan(nids, mask)
+    np.testing.assert_array_equal(p_q.miss_feats, p_ref.miss_feats)
+
+    # f32 consumers see dequantized rows within scale/2 of the original
+    back = store_q.gather(["features"], np.arange(n))
+    scale = store_q.scales["features"]
+    assert back.dtype == np.float32
+    assert np.all(np.abs(back - feats) <= scale[None, :] * 0.5 + 1e-7)
+
+
+def test_prequantized_store_trainer(learn_ds):
+    """End-to-end: Trainer over a pre-quantized store == Trainer over the
+    f32 store with int8 cache dtype (identical trajectories — both paths
+    quantize with the same store-wide scale)."""
+    from pagraph_tpu.storage.feature_store import quantize_store
+
+    tr_a = Trainer.from_dataset(_cfg("int8"), learn_ds, seed=0)
+    tr_a.train(2)
+    store_q = quantize_store(
+        FeatureStore.build(learn_ds.graph, learn_ds.features))
+    assert store_q.is_quantized(["features"])
+    assert store_q.fields["norm"].dtype == np.float32   # 1-col passthrough
+    tr_b = Trainer(_cfg("int8"), store_q, learn_ds.graph,
+                   learn_ds.train_nids, learn_ds.labels, seed=0)
+    tr_b.train(2)
+    la = [m.mean_loss for m in tr_a.epoch_metrics]
+    lb = [m.mean_loss for m in tr_b.epoch_metrics]
+    np.testing.assert_allclose(la, lb, rtol=1e-6)
