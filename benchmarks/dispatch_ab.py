@@ -109,10 +109,14 @@ def main():
                 f"{vals[3] / dt / 1e6:.2f}M edges/s)")
 
     med = {k: float(np.median(v)) for k, v in times.items()}
-    base = med.get("scan", max(med.values()))
+    # baseline is scan when it ran; otherwise the slowest arm — name it in
+    # the JSON so speedup_best is never misread as scan-relative (ADVICE r4)
+    base_name = "scan" if "scan" in med else max(med, key=med.get)
+    base = med[base_name]
     out = {
         "metric": "leaderboard_epoch_s",
         **{f"{k}_s": round(v, 3) for k, v in med.items()},
+        "baseline": base_name,
         "speedup_best": round(base / min(med.values()), 3),
         "detail": {
             "workload": (f"graphsage fanouts={list(fanouts)} "

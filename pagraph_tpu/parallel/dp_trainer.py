@@ -1063,50 +1063,63 @@ class DataParallelTrainer:
         return epoch + 1
 
     def _restore_cv_aux(self, epoch: int) -> None:
+        """Restore CV hist/agg from whichever aux format the checkpoint was
+        written under: per-process ``.aux.p*.npz`` shard files (multi-process
+        writer) or the single-file orbax ``.aux`` sidecar (single-process
+        writer).  Either layout restores under either launch (ADVICE r4 #2 —
+        a cross-layout resume used to silently zero the histories)."""
         from ..train.checkpoint import open_aux_shards, restore_aux
 
-        if self._mp:
-            # per-process shard files: each process materializes only the
-            # rows its devices own (place_dp callback form)
-            get_row = open_aux_shards(self.cfg.train.ckpt_dir,
-                                      self.cfg.model.arch, epoch)
-            if get_row is not None:
-                def place(name, b, ref):
-                    cb = lambda r: get_row(f"{name}{b}_row{r}")
-                    return place_dp(cb, self.mesh, shape=ref.shape,
-                                    dtype=ref.dtype)
-                try:
-                    self._dev_hists = tuple(
-                        place("hist", b, h)
-                        for b, h in enumerate(self._dev_hists))
-                    self._dev_aggs = tuple(
-                        place("agg", b, a)
-                        for b, a in enumerate(self._dev_aggs))
-                except KeyError as e:
-                    raise ValueError(
-                        f"CV aux shard files for epoch {epoch} are missing "
-                        f"row {e} — was the checkpoint written with a "
-                        "different mesh size? (rows are keyed by GLOBAL dp "
-                        "index; the device count must match)") from None
-                return
-            aux = None
-        else:
-            template = self._cv_aux()
-            aux = (restore_aux(self.cfg.train.ckpt_dir, self.cfg.model.arch,
-                               epoch, template)
-                   if template is not None else None)
+        get_row = open_aux_shards(self.cfg.train.ckpt_dir,
+                                  self.cfg.model.arch, epoch)
+        if get_row is not None:
+            # shard files: each process materializes only the rows its
+            # devices own (place_dp callback form) — works single- and
+            # multi-process
+            def place(name, b, ref):
+                cb = lambda r: get_row(f"{name}{b}_row{r}")
+                return place_dp(cb, self.mesh, shape=ref.shape,
+                                dtype=ref.dtype)
+            try:
+                self._dev_hists = tuple(
+                    place("hist", b, h)
+                    for b, h in enumerate(self._dev_hists))
+                self._dev_aggs = tuple(
+                    place("agg", b, a)
+                    for b, a in enumerate(self._dev_aggs))
+            except KeyError as e:
+                raise ValueError(
+                    f"CV aux shard files for epoch {epoch} are missing "
+                    f"row {e} — was the checkpoint written with a "
+                    "different mesh size? (rows are keyed by GLOBAL dp "
+                    "index; the device count must match)") from None
+            return
+        # orbax .aux sidecar (single-process writer).  A zero template of
+        # the right shapes works under any process layout — each process
+        # reads the file and places only its rows.
+        template = {"hist": [np.zeros(h.shape, h.dtype)
+                             for h in self._dev_hists],
+                    "agg": [np.zeros(a.shape, a.dtype)
+                            for a in self._dev_aggs]}
+        aux = restore_aux(self.cfg.train.ckpt_dir, self.cfg.model.arch,
+                          epoch, template)
         if aux is None:
             import warnings
             warnings.warn(
                 f"checkpoint {self.cfg.model.arch}_{epoch} has no usable "
-                ".aux CV histories (pre-aux checkpoint): resuming with "
-                "ZERO hist/agg — the control-variate term is wrong until "
-                "the first post-resume epoch refreshes them",
+                ".aux CV histories in either format (pre-aux checkpoint): "
+                "resuming with ZERO hist/agg — the control-variate term is "
+                "wrong until the first post-resume epoch refreshes them",
                 RuntimeWarning, stacklevel=3)
             return
-        put = lambda x: place_dp(np.asarray(x), self.mesh)
-        self._dev_hists = tuple(put(h) for h in aux["hist"])
-        self._dev_aggs = tuple(put(a) for a in aux["agg"])
+        def put(name, b, ref):
+            full = np.asarray(aux[name][b])
+            cb = lambda r: full[r]
+            return place_dp(cb, self.mesh, shape=ref.shape, dtype=ref.dtype)
+        self._dev_hists = tuple(put("hist", b, h)
+                                for b, h in enumerate(self._dev_hists))
+        self._dev_aggs = tuple(put("agg", b, a)
+                               for b, a in enumerate(self._dev_aggs))
 
     def _maybe_eval(self, epoch: int) -> None:
         """Validation accuracy over the FULL graph every

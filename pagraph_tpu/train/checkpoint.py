@@ -80,7 +80,11 @@ def save_aux_shards(ckpt_dir: str, arch: str, epoch: int, aux: Dict) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     path = (_ckpt_path(ckpt_dir, arch, epoch)
             + f".aux.p{jax.process_index()}.npz")
-    out = {}
+    # manifest: writer layout, validated by open_aux_shards so stale shard
+    # files from an earlier run with a different process count are never
+    # silently indexed (ADVICE r4 #1)
+    out = {"__nproc__": np.int64(jax.process_count()),
+           "__pidx__": np.int64(jax.process_index())}
     for name, arrs in aux.items():
         for b, a in enumerate(arrs):
             for shard in a.addressable_shards:
@@ -98,24 +102,63 @@ def open_aux_shards(ckpt_dir: str, arch: str, epoch: int):
     """Open the row files written by :func:`save_aux_shards` for lazy
     per-row access.
 
-    Indexes every ``.aux.p*.npz`` sibling (a relaunch may assign rows to
+    Indexes the ``.aux.p*.npz`` siblings (a relaunch may assign rows to
     processes differently than the writer did — npz directories are read,
     row payloads are NOT) and returns a ``key -> np.ndarray`` callable
-    covering ``{name}{b}_row{r}``, or None when no shard files exist
+    covering ``{name}{b}_row{r}``, or None when no usable shard set exists
     (pre-aux or single-process checkpoint).  Each process materializes
     only the rows it asks for — the per-host-DRAM contract of the
-    multihost design."""
+    multihost design.
+
+    Shard files carry a writer-layout manifest (``__nproc__``/``__pidx__``);
+    only the unique COMPLETE set — all indices ``0..N-1`` of one claimed
+    process count — is indexed.  Leftover files from an earlier run with a
+    different process count are ignored with a warning instead of being
+    last-wins merged into the index (ADVICE r4 #1)."""
     import glob
+    import warnings
 
     base = _ckpt_path(ckpt_dir, arch, epoch)
     files = sorted(glob.glob(base + ".aux.p*.npz"))
     if not files:
         return None
-    index = {}
+    groups: Dict = {}          # claimed nproc -> {pidx: (fname, npz)}
+    legacy = []                # pre-manifest files (round-4 writers)
     for f in files:
         z = np.load(f)
+        if "__nproc__" in z.files:
+            groups.setdefault(int(z["__nproc__"]), {})[int(z["__pidx__"])] = (f, z)
+        else:
+            legacy.append((f, z))
+    chosen = None
+    for nproc, members in groups.items():
+        if set(members) == set(range(nproc)):
+            chosen = [z for _, z in members.values()]  # at most one complete
+            break                                      # group: all need p0
+    stale = [f for f, _ in legacy] if chosen else []
+    if chosen is not None:
+        for nproc, members in groups.items():
+            if set(members) != set(range(nproc)):
+                stale.extend(f for f, _ in members.values())
+    if chosen is None:
+        if legacy and not groups:
+            chosen = [z for _, z in legacy]   # old files, old behavior
+        else:
+            warnings.warn(
+                f"no complete CV aux shard set next to {base} — leftover "
+                f"files from a different process layout are ignored",
+                RuntimeWarning, stacklevel=2)
+            return None
+    elif stale:
+        warnings.warn(
+            f"ignoring stale CV aux shard files next to {base} (written "
+            f"under a different process layout): {stale}",
+            RuntimeWarning, stacklevel=2)
+    index = {}
+    for z in chosen:
         for k in z.files:
-            index[k] = z
+            if not k.startswith("__"):
+                index[k] = z
     return lambda key: np.asarray(index[key][key])
 
 

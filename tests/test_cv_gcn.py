@@ -273,3 +273,76 @@ def test_cv_ici_mode_still_raises(learn_ds):
     with pytest.raises(NotImplementedError, match="divergent histories"):
         DataParallelTrainer.from_dataset(
             cfg, learn_ds, mesh=make_mesh(4), seed=0, feature_source="ici")
+
+
+def test_aux_shard_manifest_ignores_stale(tmp_path, learn_ds):
+    """Shard files from a different process layout next to the checkpoint
+    are ignored (with a warning), not last-wins merged (ADVICE r4 #1)."""
+    import os
+    from pagraph_tpu.parallel import DataParallelTrainer, make_mesh
+    from pagraph_tpu.train.checkpoint import open_aux_shards, save_aux_shards
+
+    ck = str(tmp_path / "stale_ck")
+    cfg = _cfg()
+    cfg.partition = pg.PartitionConfig(
+        num_parts=4, num_hops=cfg.model.num_sampled_hops)
+    cfg.train.on_device_sampling = True
+    cfg.train.ckpt_dir, cfg.train.ckpt_every = ck, 1
+    tr = DataParallelTrainer.from_dataset(cfg, learn_ds,
+                                          mesh=make_mesh(4), seed=5)
+    tr.train(1)
+    save_aux_shards(ck, cfg.model.arch, 0,
+                    {"hist": list(tr._dev_hists), "agg": list(tr._dev_aggs)})
+    # plant a stale shard claiming a 4-process layout with poisoned rows
+    poisoned = {"__nproc__": np.int64(4), "__pidx__": np.int64(1),
+                "hist0_row0": np.full_like(np.asarray(tr._dev_hists[0][0]),
+                                           1e9)}
+    np.savez(os.path.join(ck, f"{cfg.model.arch}_0.aux.p1.npz"), **poisoned)
+    with pytest.warns(RuntimeWarning, match="stale CV aux shard"):
+        get_row = open_aux_shards(ck, cfg.model.arch, 0)
+    assert get_row is not None
+    row = get_row("hist0_row0")
+    np.testing.assert_array_equal(row, np.asarray(tr._dev_hists[0][0]))
+    tr.close()
+
+
+def test_cv_resume_cross_layout_shards(tmp_path, learn_ds):
+    """A checkpoint whose CV aux exists ONLY as shard files (multi-process
+    writer) restores under a single-process launch instead of silently
+    zeroing the histories (ADVICE r4 #2)."""
+    import shutil, os
+    from pagraph_tpu.parallel import DataParallelTrainer, make_mesh
+    from pagraph_tpu.train.checkpoint import save_aux_shards
+
+    def build(ckpt_dir):
+        cfg = _cfg()
+        cfg.partition = pg.PartitionConfig(
+            num_parts=4, num_hops=cfg.model.num_sampled_hops)
+        cfg.train.on_device_sampling = True
+        cfg.train.ckpt_dir, cfg.train.ckpt_every = ckpt_dir, 1
+        return DataParallelTrainer.from_dataset(
+            cfg, learn_ds, mesh=make_mesh(4), seed=5)
+
+    full = build(str(tmp_path / "xfull"))
+    full.train(4)
+    full_losses = [m.mean_loss for m in full.epoch_metrics]
+
+    ck = str(tmp_path / "xpart")
+    tr = build(ck)
+    tr.train(2)
+    # convert the written layout: drop the orbax .aux sidecars, keep only
+    # shard files (what a multi-process writer leaves)
+    for e in (0, 1):
+        save_aux_shards(ck, tr.cfg.model.arch, e,
+                        {"hist": list(tr._dev_hists),
+                         "agg": list(tr._dev_aggs)})
+        aux_dir = os.path.join(ck, f"{tr.cfg.model.arch}_{e}.aux")
+        if os.path.isdir(aux_dir):
+            shutil.rmtree(aux_dir)
+    tr2 = build(ck)
+    start = tr2.resume()
+    assert start == 2
+    tr2.train(4, start_epoch=start)
+    resumed = [m.mean_loss for m in tr2.epoch_metrics]
+    np.testing.assert_allclose(resumed, full_losses[2:], rtol=1e-5)
+    full.close(); tr.close(); tr2.close()
