@@ -18,9 +18,11 @@ def main(argv=None):
     p.add_argument("--interval", type=int, default=1,
                    help="evaluate every Nth checkpoint")
     p.add_argument("--split", choices=["test", "val", "train"], default="test")
-    p.add_argument("--backend", choices=["host", "device"], default="host",
-                   help="full-graph aggregation: host scipy SpMM or "
-                        "on-device chunked edge scatter")
+    p.add_argument("--backend", choices=["host", "device", "auto"],
+                   default="auto",
+                   help="full-graph aggregation: host scipy SpMM, on-device "
+                        "chunked edge scatter, or auto (device at >=2M "
+                        "edges — the scale default)")
     common.add_model_flags(p)
     args = p.parse_args(argv)
 

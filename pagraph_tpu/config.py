@@ -174,11 +174,12 @@ class TrainConfig:
                                       # over the val mask); 0 = off.  The
                                       # reference only evaluates offline
                                       # (examples/eval.py)
-    eval_backend: str = "host"        # full-graph inference backend:
-                                      # "host" (scipy SpMM aggregation) or
+    eval_backend: str = "auto"        # full-graph inference backend:
+                                      # "host" (scipy SpMM aggregation),
                                       # "device" (chunked edge scatters on
                                       # the accelerator — orders of
                                       # magnitude faster at products scale)
+                                      # or "auto" (device at >=2M edges)
     remote_sampling: bool = False     # isolation mode: sampling in worker procs
     on_device_sampling: bool = False  # sample inside jit; whole epoch = one
                                       # dispatch (needs graph + full feature
@@ -300,8 +301,8 @@ class Config:
         if t.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"train.dtype must be float32|bfloat16, "
                              f"got {t.dtype!r}")
-        if t.eval_backend not in ("host", "device"):
-            raise ValueError(f"train.eval_backend must be host|device, "
+        if t.eval_backend not in ("host", "device", "auto"):
+            raise ValueError(f"train.eval_backend must be host|device|auto, "
                              f"got {t.eval_backend!r}")
         if t.epoch_dispatch not in ("scan", "steps", "pipelined"):
             raise ValueError(f"train.epoch_dispatch must be "

@@ -326,6 +326,13 @@ class _DeviceEdges:
         return _device_aggregate(self.src, self.dst, h, kind, self.num_nodes)
 
 
+# backend='auto' switches to the device path at this edge count — the
+# crossover is far below it (device wins by ~100x at 16M edges,
+# benchmarks/infer_bench.py), but small graphs stay on host so toy evals
+# never pay a device compile.
+AUTO_DEVICE_EDGES = 2_000_000
+
+
 def full_graph_logits(
     params: dict,
     cfg: ModelConfig,
@@ -341,7 +348,12 @@ def full_graph_logits(
     ``backend='host'``: aggregation on host (scipy SpMM), linear layers on
     device in row batches.  ``backend='device'``: everything on the
     accelerator via chunked edge scatters (see ``_DeviceEdges``).
+    ``backend='auto'``: device when the graph is big enough that the host
+    SpMM pass dominates (measured: host ≈ 11 min/pass at products hid256,
+    BENCH_NOTES round 3), host below that (no compile cost on tiny evals).
     """
+    if backend == "auto":
+        backend = "device" if graph.num_edges >= AUTO_DEVICE_EDGES else "host"
     if backend == "device":
         return _full_graph_logits_device(params, cfg, graph, features,
                                          edge_chunk)

@@ -184,7 +184,7 @@ def evaluate_checkpoints(
     *,
     interval: int = 1,
     template: Optional[TrainState] = None,
-    backend: str = "host",
+    backend: str = "auto",
 ) -> Dict[int, float]:
     """Replay saved checkpoints on the test set and report accuracy per
     epoch (reference eval.py main loop, :28-46)."""

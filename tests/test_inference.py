@@ -342,3 +342,30 @@ def test_bucketed_hub_second_level_buckets(kind):
             if len(nb):
                 want[v] = h[nb].max(axis=0)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_eval_backend_auto_resolves(tiny_ds):
+    """backend='auto': host below the edge threshold (identical logits),
+    device above it (threshold monkey-patched down)."""
+    import pagraph_tpu.models.inference as inf
+    import pagraph_tpu as pg
+    from pagraph_tpu.models import get_model
+
+    cfg = pg.ModelConfig(arch="gcn", n_layers=1, hidden=8,
+                         feat_dim=tiny_ds.features.shape[1], n_classes=5)
+    init_fn, _ = get_model(cfg)
+    import jax
+    params = init_fn(jax.random.PRNGKey(0), cfg)
+    ref = inf.full_graph_logits(params, cfg, tiny_ds.graph,
+                                tiny_ds.features, backend="host")
+    auto = inf.full_graph_logits(params, cfg, tiny_ds.graph,
+                                 tiny_ds.features, backend="auto")
+    np.testing.assert_allclose(auto, ref, rtol=1e-5, atol=1e-5)
+    old = inf.AUTO_DEVICE_EDGES
+    try:
+        inf.AUTO_DEVICE_EDGES = 1    # force the device path
+        dev = inf.full_graph_logits(params, cfg, tiny_ds.graph,
+                                    tiny_ds.features, backend="auto")
+    finally:
+        inf.AUTO_DEVICE_EDGES = old
+    np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-4)
