@@ -540,6 +540,33 @@ void pg_spmm_mean_f32(const int64_t* indptr, const int32_t* indices,
   }
 }
 
+// CSR mean-aggregate over an int8 (pre-quantized) feature matrix for rows
+// [row_lo, row_hi): out[v - row_lo, k] = norm[v] * scale[k] * sum int8 rows.
+// Exact: sum_u scale[k]*x[u,k] = scale[k] * sum_u x[u,k]; int64 accumulators
+// (hub in-degree * 127 overflows int32 around deg 16.9M).  The row range
+// makes the caller's chunked quantize-on-the-fly pass possible without ever
+// materializing the full f32 aggregate (papers100M preprocess field).
+void pg_spmm_mean_i8(const int64_t* indptr, const int32_t* indices,
+                     const int8_t* x, int64_t d,
+                     const float* norm, const float* scale,
+                     int64_t row_lo, int64_t row_hi, float* out) {
+#pragma omp parallel
+  {
+    std::vector<int64_t> acc(d);
+#pragma omp for schedule(dynamic, 2048)
+    for (int64_t v = row_lo; v < row_hi; ++v) {
+      std::memset(acc.data(), 0, sizeof(int64_t) * d);
+      for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+        const int8_t* row = x + (int64_t)indices[e] * d;
+        for (int64_t k = 0; k < d; ++k) acc[k] += row[k];
+      }
+      float* o = out + (v - row_lo) * d;
+      const float nv = norm[v];
+      for (int64_t k = 0; k < d; ++k) o[k] = nv * scale[k] * (float)acc[k];
+    }
+  }
+}
+
 // int8 row gather (the pre-quantized host tier's miss path).
 void pg_gather_rows_i8(const int8_t* src, int64_t num_rows, int64_t dim,
                        const int64_t* ids, int64_t n, int8_t* out) {

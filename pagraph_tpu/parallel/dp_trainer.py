@@ -467,7 +467,7 @@ class DataParallelTrainer:
         (halo.shard_features layout) and size the static halo width.
         Sets ``_feat_shards``/``_shard_rows``/``_halo_width``; returns
         (num_nodes, total_dim, stack_shape)."""
-        from .halo import halo_width_for, shard_features
+        from .halo import halo_width_for
 
         D = self.mesh.devices.size
         n = self.store.num_nodes
@@ -487,38 +487,32 @@ class DataParallelTrainer:
         self._exchange_scale = (
             np.pad(quant, (0, dim - total_dim), constant_values=1.0)
             if quant is not None else None)
-        if self._mp:
-            # host-DRAM tier at multi-host scale: each process gathers ONLY
-            # the feature rows its chips own (cyclic: owner(v) = v % P,
-            # slot v // P, matching halo.shard_features)
-            self._shard_rows = shard_rows = -(-n // D)
+        # One shard at a time via the place_dp callback, single- AND
+        # multi-process: multi-process each host gathers only the rows its
+        # chips own (cyclic: owner(v) = v % P, slot v // P, matching
+        # halo.shard_features); single-process the peak transient is ONE
+        # device slice instead of the full fused matrix + its stacked copy
+        # (at rmat27 feat128 that full-materialization path peaked ~3x the
+        # final shard bytes — the round-5 scale enabler).  A pre-quantized
+        # int8 store short-circuits the gather→quantize round trip.
+        self._shard_rows = shard_rows = -(-n // D)
 
-            def feat_row(r: int) -> np.ndarray:
-                mine = np.arange(r, n, D, dtype=np.int64)
+        def feat_row(r: int) -> np.ndarray:
+            mine = np.arange(r, n, D, dtype=np.int64)
+            if quant is not None and self.store.is_quantized(field_names):
+                f = self.store.gather(field_names, mine, quantized=True)
+            else:
                 f = self.store.gather(field_names, mine)
                 if quant is not None:
                     from ..storage.cache import quantize_rows
                     f = quantize_rows(f, quant)
-                out = np.zeros((shard_rows, dim), dtype=fdtype)
-                out[: len(mine), : f.shape[1]] = f
-                return out
+            out = np.zeros((shard_rows, dim), dtype=fdtype)
+            out[: len(mine), : f.shape[1]] = f
+            return out
 
-            self._feat_shards = place_dp(
-                feat_row, self.mesh, shape=(D, shard_rows, dim), dtype=fdtype)
-            stack_shape = (D, shard_rows, dim)
-        else:
-            fused = self.store.gather(
-                field_names, np.arange(n, dtype=np.int64))
-            if quant is not None:
-                from ..storage.cache import quantize_rows
-                fused = quantize_rows(fused, quant)
-            else:
-                fused = fused.astype(fdtype)
-            if dim > fused.shape[1]:
-                fused = np.pad(fused, ((0, 0), (0, dim - fused.shape[1])))
-            stack, self._shard_rows = shard_features(fused, D)
-            self._feat_shards = jax.device_put(stack, self._dp)
-            stack_shape = stack.shape
+        self._feat_shards = place_dp(
+            feat_row, self.mesh, shape=(D, shard_rows, dim), dtype=fdtype)
+        stack_shape = (D, shard_rows, dim)
         cap0 = self.cfg.sampler.batch_size
         for f in self.cfg.sampler.hop_fanouts():
             cap0 *= f + 1

@@ -112,6 +112,11 @@ def get_lib() -> ctypes.CDLL:
         lib.pg_gather_rows_i8.argtypes = [
             _i8p, ctypes.c_int64, ctypes.c_int64, _i64p, ctypes.c_int64, _i8p,
         ]
+        lib.pg_spmm_mean_i8.restype = None
+        lib.pg_spmm_mean_i8.argtypes = [
+            _i64p, _i32p, _i8p, ctypes.c_int64, _f32p, _f32p,
+            ctypes.c_int64, ctypes.c_int64, _f32p,
+        ]
         _lib = lib
         return lib
 
@@ -324,6 +329,29 @@ def spmm_mean_native(graph: CSRGraph, x: np.ndarray,
         _ptr(graph.indptr, _i64p), _ptr(graph.indices, _i32p),
         ctypes.c_int64(graph.num_nodes), _ptr(x, _f32p),
         ctypes.c_int64(x.shape[1]), _ptr(norm, _f32p), _ptr(out, _f32p))
+    return out
+
+
+def spmm_mean_i8_native(graph: CSRGraph, x_i8: np.ndarray,
+                        scale: np.ndarray, norm: np.ndarray,
+                        row_lo: int, row_hi: int,
+                        out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Mean-aggregate rows [row_lo, row_hi) of the pre-quantized int8
+    feature matrix -> f32 [row_hi-row_lo, d] (exact: per-column scale
+    factors out of the neighbor sum)."""
+    lib = get_lib()
+    assert x_i8.dtype == np.int8 and x_i8.flags.c_contiguous
+    d = x_i8.shape[1]
+    scale = np.ascontiguousarray(scale, dtype=np.float32)
+    norm = np.ascontiguousarray(norm, dtype=np.float32)
+    if out is None:
+        out = np.empty((row_hi - row_lo, d), dtype=np.float32)
+    _i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.pg_spmm_mean_i8(
+        _ptr(graph.indptr, _i64p), _ptr(graph.indices, _i32p),
+        x_i8.ctypes.data_as(_i8p), ctypes.c_int64(d),
+        _ptr(norm, _f32p), _ptr(scale, _f32p),
+        ctypes.c_int64(row_lo), ctypes.c_int64(row_hi), _ptr(out, _f32p))
     return out
 
 

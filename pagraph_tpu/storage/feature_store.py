@@ -203,6 +203,59 @@ def quantize_store(store: FeatureStore, field_names: Optional[Sequence[str]] = N
     return FeatureStore(fields, scales=scales)
 
 
+def build_prequantized(
+    graph: CSRGraph,
+    feats_i8: np.ndarray,
+    feat_scale,
+    *,
+    preprocess: Optional[str] = None,   # None | 'gcn' | 'graphsage'
+    chunk: int = 1 << 21,
+) -> FeatureStore:
+    """Serving store straight from int8 features — the papers100M-scale
+    twin of :meth:`FeatureStore.build` that never materializes an [N, D]
+    f32 matrix.  The preprocess field (reference pa_server.py:45-52) is
+    computed by the chunked int8-input SpMM (``pg_spmm_mean_i8``: the
+    per-column scale factors out of the neighbor sum, so the aggregate is
+    exact) and re-quantized chunk by chunk with its own per-column scale."""
+    from ..sampling.native import spmm_mean_i8_native
+
+    feats_i8 = np.ascontiguousarray(feats_i8, dtype=np.int8)
+    n, d = feats_i8.shape
+    scale = np.broadcast_to(
+        np.asarray(feat_scale, dtype=np.float32).reshape(-1), (d,)
+    ).copy() if np.ndim(feat_scale) <= 1 else np.asarray(feat_scale)
+    norm = gcn_norm(graph)
+
+    def quantized_aggregate() -> tuple:
+        maxabs = np.zeros(d, dtype=np.float32)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            agg = spmm_mean_i8_native(graph, feats_i8, scale, norm, lo, hi)
+            np.maximum(maxabs, np.abs(agg).max(axis=0), out=maxabs)
+        nscale = maxabs / 127.0
+        nscale[nscale == 0.0] = 1.0
+        q = np.empty((n, d), dtype=np.int8)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            agg = spmm_mean_i8_native(graph, feats_i8, scale, norm, lo, hi)
+            agg /= nscale[None, :]
+            np.rint(agg, out=agg)
+            q[lo:hi] = np.clip(agg, -127, 127).astype(np.int8)
+        return q, nscale
+
+    fields: Dict[str, np.ndarray] = {}
+    scales: Dict[str, np.ndarray] = {}
+    if preprocess == "gcn":
+        fields["features"], scales["features"] = quantized_aggregate()
+    elif preprocess == "graphsage":
+        fields["features"], scales["features"] = feats_i8, scale
+        fields["neigh"], scales["neigh"] = quantized_aggregate()
+    else:
+        fields["features"], scales["features"] = feats_i8, scale
+    fields["norm"] = norm
+    return FeatureStore(fields, scales=scales)
+
+
 def full_graph_mean_aggregate(graph: CSRGraph, features: np.ndarray,
                               *, backend: str = "auto") -> np.ndarray:
     """One-shot exact layer-0 aggregation over the FULL graph:

@@ -124,3 +124,55 @@ def test_gather_rows_i8():
     src = rng.integers(-127, 128, (100, 7)).astype(np.int8)
     ids = rng.integers(0, 100, 33)
     np.testing.assert_array_equal(native.gather_rows_i8(src, ids), src[ids])
+
+
+def test_spmm_i8_exact(graph):
+    """int8-input SpMM == f32 SpMM of the dequantized matrix (the scale
+    factors out of the neighbor sum)."""
+    from pagraph_tpu.graph import gcn_norm
+    from pagraph_tpu.storage.feature_store import full_graph_mean_aggregate
+
+    rng = np.random.default_rng(8)
+    x8 = rng.integers(-127, 128, (500, 24)).astype(np.int8)
+    scale = rng.uniform(0.01, 2.0, 24).astype(np.float32)
+    ref = full_graph_mean_aggregate(graph, x8.astype(np.float32) * scale,
+                                    backend="scipy")
+    norm = gcn_norm(graph)
+    lo = native.spmm_mean_i8_native(graph, x8, scale, norm, 0, 250)
+    hi = native.spmm_mean_i8_native(graph, x8, scale, norm, 250, 500)
+    got = np.concatenate([lo, hi])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_neighborhood_labels(graph):
+    from pagraph_tpu.data.synthetic import neighborhood_labels
+
+    x = np.random.default_rng(9).random((500, 16), dtype=np.float32)
+    dense = neighborhood_labels(graph, x, 13, seed=4)
+    chunked = neighborhood_labels(graph, x, 13, seed=4, chunk_rows=97)
+    # identical up to argmax ties under summation-order float noise
+    assert (dense != chunked).mean() < 0.01
+
+
+def test_build_prequantized_store(graph):
+    from pagraph_tpu.graph import gcn_norm
+    from pagraph_tpu.storage.feature_store import (build_prequantized,
+                                                   full_graph_mean_aggregate)
+
+    rng = np.random.default_rng(10)
+    x8 = rng.integers(-127, 128, (500, 8)).astype(np.int8)
+    store = build_prequantized(graph, x8, 1.0 / 127, preprocess="graphsage",
+                               chunk=123)
+    assert store.is_quantized(["features", "neigh"])
+    assert store.fields["norm"].dtype == np.float32
+    # dequantized neigh within its quantization step of the exact aggregate
+    agg = full_graph_mean_aggregate(graph, x8.astype(np.float32) / 127,
+                                    backend="scipy")
+    deq = store.gather(["neigh"], np.arange(500))
+    ns = store.scales["neigh"]
+    assert np.all(np.abs(deq - agg) <= ns[None, :] * 0.5 + 1e-6)
+    # gcn mode replaces features with the aggregate
+    store2 = build_prequantized(graph, x8, 1.0 / 127, preprocess="gcn")
+    deq2 = store2.gather(["features"], np.arange(500))
+    assert np.all(np.abs(deq2 - agg) <= store2.scales["features"][None, :] * 0.5
+                  + 1e-6)
