@@ -26,15 +26,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _teacher_labels(graph, feats) -> np.ndarray:
-    """Structure-dependent 2-hop teacher labels over a 32-dim feature slice
-    (VERDICT r2 #1; the slice bounds the SpMM scratch to n*32*4 bytes per
-    hop at 100M-vertex scale).  Faults every feature page — generator-time
-    only; steady-state workers load the persisted labels_nbr.npy."""
+def _teacher_labels(graph, feats, dims: int = 32) -> np.ndarray:
+    """Structure-dependent 2-hop teacher labels over a ``dims``-wide feature
+    slice (VERDICT r2 #1; the slice bounds the SpMM scratch to n*dims*4
+    bytes per hop at 100M-vertex scale).  Chunked scoring above 30M
+    vertices (the [N, 47] score matrices are 25 GB each at rmat27).
+    Faults every feature page — generator-time only; steady-state workers
+    load the persisted labels_nbr.npy."""
     from pagraph_tpu.data.synthetic import neighborhood_labels
 
-    x = np.ascontiguousarray(feats[:, :32], dtype=np.float32)
-    return neighborhood_labels(graph, x, 47, seed=3)
+    x = np.ascontiguousarray(feats[:, :dims], dtype=np.float32)
+    if x.dtype != feats.dtype and feats.dtype == np.int8:
+        x /= 127.0                      # dequantized int8 tier
+    chunk = (1 << 22) if graph.num_nodes > (30 << 20) else None
+    return neighborhood_labels(graph, x, 47, seed=3, chunk_rows=chunk)
 
 
 def main():
@@ -52,6 +57,13 @@ def main():
                    choices=["float32", "bfloat16", "int8"],
                    help="feature tier dtype; int8 quarters feature HBM "
                         "(the rmat25-on-one-chip enabler)")
+    p.add_argument("--host-dtype", default="float32",
+                   choices=["float32", "int8"],
+                   help="host-DRAM tier dtype: int8 generates pre-quantized "
+                        "features (scale 1/127) and builds the quantized "
+                        "store — 4x less host DRAM and 4x fewer miss-path "
+                        "bytes (the rmat27/papers100M enabler)")
+    p.add_argument("--hidden", type=int, default=16)
     p.add_argument("--paired", action="store_true",
                    help="paired row-gather draws (adds the [E/8,8] row "
                         "table to HBM: +E*4 bytes)")
@@ -104,11 +116,41 @@ def main():
 
     import pagraph_tpu as pg
     from pagraph_tpu.data.formats import Dataset
-    from pagraph_tpu.data.synthetic import random_split_masks, rmat_coo
+    from pagraph_tpu.data.synthetic import (random_split_masks, rmat_coo,
+                                            rmat_csr)
     from pagraph_tpu.graph import CSRGraph
     from pagraph_tpu.train.loop import Trainer
 
     from pagraph_tpu.utils.platform import parallel_random
+
+    timings = {}
+    if args.host_dtype == "int8":
+        # papers100M-magnitude path: native generation straight to CSR,
+        # pre-quantized int8 host tier, chunked teacher labels.  Nothing is
+        # persisted (native regen is minutes; this disk writes ~10 MB/s).
+        from pagraph_tpu.data.synthetic import neighborhood_labels  # noqa
+        from pagraph_tpu.sampling.native import random_i8_native
+        from pagraph_tpu.storage.feature_store import build_prequantized
+
+        t0 = time.time()
+        graph = rmat_csr(args.scale, args.edge_factor, seed=1,
+                         backend="native")
+        n = graph.num_nodes
+        timings["gen_csr_s"] = round(time.time() - t0, 1)
+        log(f"[scale] native gen+csr {timings['gen_csr_s']}s: "
+            f"{n:,} v, {graph.num_edges:,} e")
+        t0 = time.time()
+        feats = random_i8_native((n, args.feat), seed=3)
+        labels = _teacher_labels(graph, feats, dims=16)
+        timings["features_labels_s"] = round(time.time() - t0, 1)
+        log(f"[scale] int8 features {feats.nbytes/1e9:.1f} GB + teacher "
+            f"labels in {timings['features_labels_s']}s")
+        t0 = time.time()
+        store = build_prequantized(graph, feats, 1.0 / 127.0)
+        timings["store_build_s"] = round(time.time() - t0, 1)
+        train, val, test = random_split_masks(n, train_frac=0.1, seed=4)
+        return _run_trainer(args, pg, Trainer, graph, store, feats, labels,
+                            train, timings)
 
     import os
     cache_dir = os.path.expanduser(
@@ -195,6 +237,71 @@ def main():
             "cache_frac": round(tr.cache.capacity / n, 3),
             "hit_rate": round(1.0 - tr.epoch_metrics[-1].miss_rate, 4),
             "epoch_time_s": round(float(np.mean([m.time_s for m in steady])), 2),
+        },
+    }
+    print(json.dumps(out), flush=True)
+
+
+def _run_trainer(args, pg, Trainer, graph, store, feats, labels, train_mask,
+                 timings):
+    """Single-chip beyond-HBM training over a prebuilt (possibly
+    pre-quantized) store, with phase timings and a host/HBM memory audit
+    (the config-#5 'papers100M single chip' realization)."""
+    n = graph.num_nodes
+    train_nids = np.nonzero(train_mask)[0]
+    cfg = pg.Config(
+        model=pg.ModelConfig(arch="graphsage", n_layers=1,
+                             hidden=args.hidden, feat_dim=args.feat,
+                             n_classes=47),
+        sampler=pg.SamplerConfig(batch_size=args.batch_size, fanout=2,
+                                 num_hops=2, prefetch=3,
+                                 paired_draws=args.paired),
+        cache=pg.CacheConfig(
+            capacity=(int(n * args.cache_frac) if args.cache_frac else None),
+            dtype=args.cache_dtype,
+        ),
+        train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
+                             on_device_sampling=args.on_device),
+    )
+    t0 = time.time()
+    tr = Trainer(cfg, store, graph, train_nids, labels, seed=0, log=True)
+    timings["trainer_build_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    tr.train(args.epochs)
+    timings["train_s"] = round(time.time() - t0, 1)
+    steady = tr.epoch_metrics[1:] or tr.epoch_metrics
+    eps = float(np.mean([m.edges / m.time_s for m in steady]))
+    host_bytes = (sum(f.nbytes for f in store.fields.values())
+                  + graph.indptr.nbytes + graph.indices.nbytes
+                  + graph.out_degrees.nbytes + labels.nbytes)
+    row_bytes = tr.cache.padded_dim * tr.cache.np_dtype.itemsize
+    audit = {
+        "host_dram_bytes": int(host_bytes),
+        "host_feature_dtype": str(store.fields["features"].dtype),
+        "hbm_cache_bytes": int(tr.cache.capacity * row_bytes),
+        "hbm_cache_map_bytes": int(4 * n),
+        "f32_equivalent_host_feature_bytes": int(n * args.feat * 4),
+    }
+    out = {
+        "metric": "edges_per_s_per_chip",
+        "value": round(eps, 1),
+        "unit": "edges/s",
+        "detail": {
+            "workload": f"graphsage rmat{args.scale}x{args.edge_factor} "
+                        f"({n:,} v, {graph.num_edges:,} e, "
+                        f"feat {args.feat} host={args.host_dtype} "
+                        f"cache={args.cache_dtype} "
+                        f"{'on-device' if args.on_device else 'host tier'}"
+                        f"{' paired' if args.paired else ''})",
+            "cache_capacity_vertices": tr.cache.capacity,
+            "cache_frac": round(tr.cache.capacity / n, 3),
+            "hit_rate": round(1.0 - tr.epoch_metrics[-1].miss_rate, 4),
+            "epoch_time_s": round(
+                float(np.mean([m.time_s for m in steady])), 2),
+            "epoch_times_s": [round(m.time_s, 2) for m in tr.epoch_metrics],
+            "final_loss": round(tr.epoch_metrics[-1].mean_loss, 4),
+            "timings": timings,
+            "memory_audit": audit,
         },
     }
     print(json.dumps(out), flush=True)

@@ -57,6 +57,12 @@ def main():
                         "at power-law scale makes every closure ~the whole "
                         "graph — the audit shows WHY the reference "
                         "defaults to 1 hop + preprocess")
+    p.add_argument("--host-dtype", default="float32",
+                   choices=["float32", "int8"],
+                   help="int8: native gen straight to CSR, pre-quantized "
+                        "int8 store (features AND the preprocess neigh "
+                        "field via the chunked int8 SpMM), int8 feature "
+                        "shards — the rmat27/papers100M-magnitude path")
     args = p.parse_args()
 
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -77,6 +83,29 @@ def main():
     from pagraph_tpu.utils.platform import parallel_random
 
     timings = {}
+
+    if args.host_dtype == "int8":
+        from pagraph_tpu.data.synthetic import rmat_csr
+        from pagraph_tpu.sampling.native import random_i8_native
+
+        t0 = time.time()
+        graph = rmat_csr(args.scale, args.edge_factor, seed=11,
+                         backend="native")
+        n, e = graph.num_nodes, graph.num_edges
+        timings["gen_csr_s"] = round(time.time() - t0, 1)
+        log(f"[rehearsal] native gen+csr {timings['gen_csr_s']}s: "
+            f"{n:,} v, {e:,} e")
+        t0 = time.time()
+        feats = random_i8_native((n, args.feat), seed=13)
+        from benchmarks.scale_demo import _teacher_labels
+        labels = _teacher_labels(graph, feats, dims=16)
+        timings["features_labels_s"] = round(time.time() - t0, 1)
+        log(f"[rehearsal] int8 features {feats.nbytes/1e9:.1f} GB + labels "
+            f"in {timings['features_labels_s']}s")
+        train, val, test = random_split_masks(n, train_frac=args.train_frac,
+                                              seed=14)
+        ds = Dataset(graph, feats, labels, train, val, test)
+        return _partition_and_train(args, ds, timings)
 
     cache_dir = args.data_dir or os.path.expanduser(
         f"~/.cache/pagraph_tpu_bench/rehearsal{args.scale}"
@@ -119,7 +148,16 @@ def main():
     timings["features_labels_s"] = round(time.time() - t0, 1)
     log(f"[rehearsal] features {feats.nbytes/1e9:.1f} GB, "
         f"{int(train.sum()):,} train ({timings['features_labels_s']}s)")
+    return _partition_and_train(args, ds, timings)
 
+
+def _partition_and_train(args, ds, timings):
+    import pagraph_tpu as pg
+    from pagraph_tpu.parallel import DataParallelTrainer, make_mesh
+    from pagraph_tpu.partition import dg_partition, hash_partition
+    from pagraph_tpu.partition.utils import partition_stats
+
+    n, e = ds.num_nodes, ds.graph.num_edges
     # --- partition (the SURVEY §7 "dg scalability" hard part) --------------
     t0 = time.time()
     hops = args.hops     # reference headline: --num-hops 1 + preprocess
@@ -141,19 +179,26 @@ def main():
     # --- edge-mode trainer on the virtual mesh ------------------------------
     m = pg.ModelConfig(arch="graphsage", n_layers=hops, hidden=16,
                        feat_dim=args.feat, n_classes=47, preprocess=True)
+    int8 = args.host_dtype == "int8"
     cfg = pg.Config(
         model=m,
         sampler=pg.SamplerConfig(batch_size=args.batch_size, fanout=2,
                                  num_hops=m.num_sampled_hops),
         partition=pg.PartitionConfig(num_parts=args.parts,
                                      method=args.method, num_hops=hops),
-        cache=pg.CacheConfig(dtype="bfloat16"),
+        cache=pg.CacheConfig(dtype="int8" if int8 else "bfloat16"),
         train=pg.TrainConfig(lr=1e-2, warmup_epochs=1,
                              on_device_sampling=True),
     )
-    from pagraph_tpu.storage.feature_store import FeatureStore
+    from pagraph_tpu.storage.feature_store import (FeatureStore,
+                                                   build_prequantized)
     t0 = time.time()
-    store = FeatureStore.build(ds.graph, ds.features, preprocess="graphsage")
+    if int8:
+        store = build_prequantized(ds.graph, ds.features, 1.0 / 127.0,
+                                   preprocess="graphsage")
+    else:
+        store = FeatureStore.build(ds.graph, ds.features,
+                                   preprocess="graphsage")
     timings["store_build_s"] = round(time.time() - t0, 1)
     log(f"[rehearsal] store (with preprocess SpMM) in "
         f"{timings['store_build_s']}s")
@@ -172,7 +217,7 @@ def main():
     struct_actual = int(tr._dev_indptr.nbytes + tr._dev_indices.nbytes) // D
     struct_claim = int(4 * e / D + 4 * n / D)         # int32 E/P + indptr
     feat_actual = int(tr._feat_shards.nbytes) // D
-    itemsize = 2  # bf16
+    itemsize = tr._feat_shards.dtype.itemsize
     feat_claim = int(n * tr._feat_shards.shape[-1] * itemsize / D)
     k_struct = struct_actual / max(struct_claim, 1)
     audit = {
@@ -201,7 +246,8 @@ def main():
         "detail": {
             "workload": (
                 f"graphsage-preprocess edge-mode rmat{args.scale}"
-                f"x{args.edge_factor} ({n:,} v, {e:,} e, feat {args.feat}, "
+                f"x{args.edge_factor} ({n:,} v, {e:,} e, feat {args.feat} "
+                f"host={args.host_dtype}, "
                 f"{D} virtual CPU devices, {args.method} partition)"
             ),
             "epoch_time_s": round(
