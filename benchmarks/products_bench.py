@@ -92,6 +92,12 @@ def main():
     p.add_argument("--edge-factor", type=int, default=30)
     p.add_argument("--feat", type=int, default=100)
     p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--arch", default="graphsage",
+                   choices=["graphsage", "gcn", "gat", "gin", "gcn_cv"],
+                   help="model family (VERDICT r4 item #4: perf rows for "
+                        "every arch, same harness). gcn_cv runs with "
+                        "preprocess=True (its contract) so it samples one "
+                        "hop less at the same layer count")
     p.add_argument("--standard", action="store_true",
                    help="OGB-leaderboard shape (batch 1024, fanout 5, "
                         "3 layers, hidden 256) instead of the reference's")
@@ -134,18 +140,25 @@ def main():
     )
     ds = build_dataset(cache_dir, args.scale, args.edge_factor, args.feat)
 
+    pre = args.arch == "gcn_cv"       # CV requires the preprocess field
     if args.standard:
-        model = pg.ModelConfig(arch="graphsage", n_layers=2, hidden=256,
-                               feat_dim=args.feat, n_classes=47, dropout=0.5)
+        model = pg.ModelConfig(arch=args.arch, n_layers=2, hidden=256,
+                               feat_dim=args.feat, n_classes=47, dropout=0.5,
+                               preprocess=pre)
         fanouts = (tuple(int(f) for f in args.fanouts.split(","))
                    if args.fanouts else None)
+        if pre and fanouts:
+            fanouts = fanouts[1:]     # preprocess absorbs the outermost hop
         sampler = pg.SamplerConfig(batch_size=1024, fanout=5,
-                                   fanouts=fanouts, num_hops=3,
+                                   fanouts=fanouts,
+                                   num_hops=model.num_sampled_hops,
                                    paired_draws=not args.no_paired)
     else:
-        model = pg.ModelConfig(arch="graphsage", n_layers=1, hidden=16,
-                               feat_dim=args.feat, n_classes=47, dropout=0.2)
-        sampler = pg.SamplerConfig(batch_size=6000, fanout=2, num_hops=2,
+        model = pg.ModelConfig(arch=args.arch, n_layers=1, hidden=16,
+                               feat_dim=args.feat, n_classes=47, dropout=0.2,
+                               preprocess=pre)
+        sampler = pg.SamplerConfig(batch_size=6000, fanout=2,
+                                   num_hops=model.num_sampled_hops,
                                    paired_draws=not args.no_paired)
     cfg = pg.Config(
         model=model,
@@ -168,7 +181,7 @@ def main():
         "unit": "edges/s",
         "detail": {
             "workload": (
-                f"graphsage {'standard' if args.standard else 'reference'} "
+                f"{args.arch} {'standard' if args.standard else 'reference'} "
                 f"shape, products-scale rmat{args.scale} "
                 f"({ds.num_nodes:,} v, {ds.graph.num_edges:,} e)"
             ),

@@ -37,6 +37,9 @@ class EpochMetrics:
     edges: int = 0          # valid sampled edges aggregated this epoch
     vertices: int = 0       # valid vertices loaded this epoch
     val_acc: Optional[float] = None   # set on eval_every epochs
+    h2d_bytes: int = 0      # batch bytes shipped host->device this epoch
+                            # (packed i32/u8 + miss rows; the overlap-probe
+                            # numerator, VERDICT r4 item #3)
 
 
 class Trainer:
@@ -315,6 +318,7 @@ class Trainer:
             return self._run_epoch_on_device(epoch)
         t_epoch = time.perf_counter()
         self.cache.reset_stats()
+        self._epoch_h2d_bytes = 0
         tot_loss = tot_acc = 0.0
         nb = 0
         if not self._cache_filled:
@@ -363,6 +367,8 @@ class Trainer:
                 ]) if max_bucket else np.zeros(
                     (len(group), 0, layout.total_dim),
                     group[0][3].dtype)
+                self._epoch_h2d_bytes += (i32.nbytes + u8.nbytes
+                                          + f32.nbytes)
                 with self.timers.scope("h2d"):
                     return layout, put(i32), put(u8), put(f32)
 
@@ -389,6 +395,8 @@ class Trainer:
                     dispatch(transfer(group))
             else:
                 for layout, i32, u8, f32 in self.loader.epoch():
+                    self._epoch_h2d_bytes += (i32.nbytes + u8.nbytes
+                                              + f32.nbytes)
                     with self.timers.scope("step"):
                         self.state, acc_buf = self.step_fn(
                             layout, self.state, acc_buf, i32, u8, f32,
@@ -417,6 +425,7 @@ class Trainer:
             num_batches=nb,
             edges=self.loader.epoch_edges,
             vertices=self.loader.epoch_vertices,
+            h2d_bytes=getattr(self, "_epoch_h2d_bytes", 0),
         )
         self.epoch_metrics.append(em)
         if self.log:
