@@ -105,6 +105,7 @@ def main():
         train, val, test = random_split_masks(n, train_frac=args.train_frac,
                                               seed=14)
         ds = Dataset(graph, feats, labels, train, val, test)
+        del feats                      # ds holds the only reference now
         return _partition_and_train(args, ds, timings)
 
     cache_dir = args.data_dir or os.path.expanduser(
@@ -169,6 +170,8 @@ def _partition_and_train(args, ds, timings):
         parts = hash_partition(ds.graph, ds.train_nids, ds.labels,
                                args.parts, hops, seed=0)
     timings["partition_s"] = round(time.time() - t0, 1)
+    from pagraph_tpu.utils.platform import trim_host_allocator
+    trim_host_allocator()              # return partition-phase temporaries
     pstats = partition_stats(parts, n)
     e_parts = [int(p.graph.num_edges) for p in parts]
     skew = max(e_parts) / max(np.mean(e_parts), 1)
@@ -202,6 +205,7 @@ def _partition_and_train(args, ds, timings):
     timings["store_build_s"] = round(time.time() - t0, 1)
     log(f"[rehearsal] store (with preprocess SpMM) in "
         f"{timings['store_build_s']}s")
+    trim_host_allocator()
 
     t0 = time.time()
     tr = DataParallelTrainer(
@@ -211,6 +215,18 @@ def _partition_and_train(args, ds, timings):
         full_val_mask=ds.val_mask, full_features=ds.features,
     )
     timings["trainer_build_s"] = round(time.time() - t0, 1)
+    if int8:
+        # edge-mode epochs read ONLY the device-resident shards + partition
+        # CSRs; at rmat27 the host store (34 GB features+neigh) must go or
+        # the CPU-mesh epoch working set OOMs the 125 GB box (the
+        # first-attempt exit-137 this guards against)
+        import gc
+        for f in ("features", "neigh"):
+            store.fields.pop(f, None)
+        ds.features = None
+        tr._full_features = None
+        gc.collect()
+        trim_host_allocator()
 
     # --- per-chip memory audit: actual vs the E/P + N*D/P claim ------------
     D = args.parts

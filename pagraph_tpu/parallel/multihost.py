@@ -101,6 +101,9 @@ def place_dp(rows: RowSource, mesh, *, shape: Optional[tuple] = None,
             sl = index[0]
             got = [np.asarray(rows(r))[None] for r in
                    range(sl.start or 0, sl.stop, sl.step or 1)]
+            if len(got) == 1:
+                return got[0]          # view — skip the concatenate copy
+                                       # (a multi-GB transient at rmat27)
             return np.concatenate(got, axis=0)
 
         return jax.make_array_from_callback(tuple(shape), sharding, cb)

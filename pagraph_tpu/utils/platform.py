@@ -20,6 +20,20 @@ _M_MMAP_THRESHOLD = -3
 _allocator_tuned = False
 
 
+def trim_host_allocator() -> None:
+    """One-shot ``malloc_trim(0)``: hand the heap's freed tail back to the
+    OS.  ``tune_host_allocator`` disables automatic trimming so freed numpy
+    temporaries stay warm — the right default on this slow-fault host, but
+    a 0.5B+-edge offline pipeline accumulates tens of GB of retained arena
+    between phases (the round-5 rmat27 CPU-mesh OOM).  Call between phases
+    when the next one needs the headroom more than the warmth."""
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.malloc_trim(ctypes.c_size_t(0))
+    except Exception:
+        pass
+
+
 def tune_host_allocator(warm_bytes: int = 0, threads: int = 4) -> None:
     """Work around pathologically slow first-touch page faults.
 
