@@ -120,6 +120,13 @@ def main():
                    help="steps = one async dispatch per minibatch (+2.6%% "
                         "at the [15,10,5] --standard shape, much faster "
                         "compile; slower at the small reference shape)")
+    p.add_argument("--hidden", type=int, default=None,
+                   help="override the shape's hidden width (for gat, "
+                        "hidden is PER-HEAD: concat width = heads*hidden, "
+                        "so --standard gat at the default 4 heads runs "
+                        "1024-wide layers; --hidden 64 matches SAGE h256)")
+    p.add_argument("--num-heads", type=int, default=4,
+                   help="gat attention heads per layer")
     args = p.parse_args()
 
     from pagraph_tpu.utils.platform import (
@@ -142,7 +149,9 @@ def main():
 
     pre = args.arch == "gcn_cv"       # CV requires the preprocess field
     if args.standard:
-        model = pg.ModelConfig(arch=args.arch, n_layers=2, hidden=256,
+        model = pg.ModelConfig(arch=args.arch, n_layers=2,
+                               hidden=args.hidden or 256,
+                               num_heads=args.num_heads,
                                feat_dim=args.feat, n_classes=47, dropout=0.5,
                                preprocess=pre)
         fanouts = (tuple(int(f) for f in args.fanouts.split(","))
@@ -154,7 +163,9 @@ def main():
                                    num_hops=model.num_sampled_hops,
                                    paired_draws=not args.no_paired)
     else:
-        model = pg.ModelConfig(arch=args.arch, n_layers=1, hidden=16,
+        model = pg.ModelConfig(arch=args.arch, n_layers=1,
+                               hidden=args.hidden or 16,
+                               num_heads=args.num_heads,
                                feat_dim=args.feat, n_classes=47, dropout=0.2,
                                preprocess=pre)
         sampler = pg.SamplerConfig(batch_size=6000, fanout=2,
@@ -182,7 +193,9 @@ def main():
         "detail": {
             "workload": (
                 f"{args.arch} {'standard' if args.standard else 'reference'} "
-                f"shape, products-scale rmat{args.scale} "
+                f"h{model.hidden}"
+                + (f"x{model.num_heads}heads" if args.arch == "gat" else "")
+                + f" shape, products-scale rmat{args.scale} "
                 f"({ds.num_nodes:,} v, {ds.graph.num_edges:,} e)"
             ),
             "epoch_time_s": round(epoch_time, 3),

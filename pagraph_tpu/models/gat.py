@@ -56,7 +56,18 @@ def init_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> dict:
 
 
 def _gat_block(p: dict, h_src: jax.Array, block, heads: int) -> jax.Array:
-    """One attention block: [cap_src, in] -> [cap_dst, heads, head_dim]."""
+    """One attention block: [cap_src, in] -> [cap_dst, heads, head_dim].
+
+    The self-loop edge is kept OUT of the padded [cap_dst, F, K] neighbor
+    tensors: the softmax over {neighbors} ∪ {self} is computed as a manual
+    two-part stable softmax instead of concatenating a [cap_dst, 1, K, H]
+    self slab onto the [cap_dst, F, K, H] messages.  Measured on v5e at the
+    leaderboard layer-0 shape (1.08M src / 67.6k dst / F=15 / 4x64 heads):
+    the concat formulation's BACKWARD spends ~16 ms/step in splits and
+    layout copies of z-sized buffers that the split formulation never
+    materializes — 31.7 -> 15.9 ms tail grad, identical numerics
+    (BENCH_NOTES round 5 "GAT backward").
+    """
     z = h_src @ p["w"]                                   # [cap_src, K*H]
     z = z.reshape(z.shape[0], heads, -1)                 # [cap_src, K, H]
     att_s = jnp.einsum("nkh,kh->nk", z, p["a_self"])     # [cap_src, K]
@@ -68,17 +79,18 @@ def _gat_block(p: dict, h_src: jax.Array, block, heads: int) -> jax.Array:
     an_dst = block_self(att_n, block)
     an_nbr = _neigh_msgs(att_n, block)                   # [cap_dst, F, K]
 
-    # edge logits: neighbors then the self-loop edge, [cap_dst, F+1, K]
-    e = jnp.concatenate(
-        [as_dst[:, None, :] + an_nbr, (as_dst + an_dst)[:, None, :]], axis=1)
-    e = jax.nn.leaky_relu(e, negative_slope=0.2)
-    mask = jnp.concatenate(
-        [block.neigh_mask,
-         jnp.ones((block.neigh_mask.shape[0], 1), dtype=bool)], axis=1)
-    e = jnp.where(mask[..., None], e, _NEG)
-    alpha = jax.nn.softmax(e, axis=1)                    # [cap_dst, F+1, K]
-    msgs = jnp.concatenate([z_neigh, z_self[:, None]], axis=1)
-    return jnp.einsum("nfk,nfkh->nkh", alpha, msgs)
+    lrelu = lambda x: jax.nn.leaky_relu(x, negative_slope=0.2)
+    e_n = lrelu(as_dst[:, None, :] + an_nbr)             # [cap_dst, F, K]
+    e_s = lrelu(as_dst + an_dst)                         # [cap_dst, K] self
+    e_n = jnp.where(block.neigh_mask[..., None], e_n, _NEG)
+    m = jnp.maximum(jnp.max(e_n, axis=1), e_s)           # [cap_dst, K]
+    w_n = jnp.exp(e_n - m[:, None, :])
+    w_s = jnp.exp(e_s - m)
+    denom = jnp.sum(w_n, axis=1) + w_s                   # [cap_dst, K]
+    alpha_n = (w_n / denom[:, None, :]).astype(z.dtype)
+    alpha_s = (w_s / denom).astype(z.dtype)
+    return (jnp.einsum("nfk,nfkh->nkh", alpha_n, z_neigh)
+            + alpha_s[..., None] * z_self)
 
 
 def apply(
