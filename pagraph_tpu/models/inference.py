@@ -279,23 +279,56 @@ class _BucketedNeighborhoods:
         self._inv_perm = jnp.asarray(inv)
 
     def aggregate(self, h: jax.Array, kind: str) -> jax.Array:
-        n, D = h.shape
-        assert n == self.num_nodes
-        hp = jnp.concatenate([h, jnp.zeros((1, D), h.dtype)], axis=0)
-        outs = []
-        if self._n0:
-            outs.append(jnp.zeros((self._n0, D), h.dtype))
-        for idx, rows in self._buckets:
-            outs.append(_window_reduce(hp, idx, kind)[:rows])
-        if self._big is not None:
-            widx, wrows, lvl2, _ = self._big
-            partials = _window_reduce(hp, widx, kind)[:wrows]
-            pp = jnp.concatenate(
-                [partials, jnp.zeros((1, D), h.dtype)], axis=0)
-            for idx2, rows2 in lvl2:
-                outs.append(_window_reduce(pp, idx2, kind)[:rows2])
-        out_perm = jnp.concatenate(outs, axis=0)
-        return jnp.take(out_perm, self._inv_perm, axis=0)
+        assert h.shape[0] == self.num_nodes
+        return bucketed_aggregate(self.device_args(), self.static_meta(),
+                                  h, kind)
+
+    def device_args(self) -> dict:
+        """The window tables as a pytree — pass these as jit ARGUMENTS.
+
+        Closing over them instead embeds ~2E int32 of HLO constants and
+        the axon remote compile dies with HTTP 413 (CLAUDE.md)."""
+        return {
+            "buckets": tuple(idx for idx, _ in self._buckets),
+            "big": self._big[0] if self._big is not None else None,
+            "lvl2": (tuple(idx2 for idx2, _ in self._big[2])
+                     if self._big is not None else ()),
+            "inv_perm": self._inv_perm,
+        }
+
+    def static_meta(self) -> tuple:
+        """Hashable shape metadata matching :meth:`device_args`."""
+        return (
+            self._n0,
+            tuple(rows for _, rows in self._buckets),
+            self._big[1] if self._big is not None else None,
+            (tuple(rows2 for _, rows2 in self._big[2])
+             if self._big is not None else ()),
+        )
+
+
+def bucketed_aggregate(arrays: dict, meta: tuple, h: jax.Array,
+                       kind: str) -> jax.Array:
+    """Exact full-graph neighborhood aggregation from bucketed window
+    tables (pure function of ``_BucketedNeighborhoods.device_args()`` /
+    ``static_meta()`` — safe to call inside a jitted epoch with the
+    tables threaded through as arguments)."""
+    n0, bucket_rows, wrows, lvl2_rows = meta
+    D = h.shape[1]
+    hp = jnp.concatenate([h, jnp.zeros((1, D), h.dtype)], axis=0)
+    outs = []
+    if n0:
+        outs.append(jnp.zeros((n0, D), h.dtype))
+    for idx, rows in zip(arrays["buckets"], bucket_rows):
+        outs.append(_window_reduce(hp, idx, kind)[:rows])
+    if arrays["big"] is not None:
+        partials = _window_reduce(hp, arrays["big"], kind)[:wrows]
+        pp = jnp.concatenate(
+            [partials, jnp.zeros((1, D), h.dtype)], axis=0)
+        for idx2, rows2 in zip(arrays["lvl2"], lvl2_rows):
+            outs.append(_window_reduce(pp, idx2, kind)[:rows2])
+    out_perm = jnp.concatenate(outs, axis=0)
+    return jnp.take(out_perm, arrays["inv_perm"], axis=0)
 
 
 class _DeviceEdges:

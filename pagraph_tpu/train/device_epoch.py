@@ -1121,7 +1121,8 @@ def make_edge_cv_device_epoch_fn(cfg: Config,
 
 def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
                             field_offsets: dict, num_nodes: int,
-                            dequant_scale=None) -> Callable:
+                            dequant_scale=None,
+                            nbr_meta: tuple = None) -> Callable:
     """Whole-epoch on-device control-variate GCN.
 
     The reference's CV model stashes history tensors in NodeFlow frames that
@@ -1130,17 +1131,25 @@ def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     ``hist[b]``/``agg[b]`` arrays [N, w_b] ride the epoch as donated inputs,
     each step gathers its slices, scatters fresh activations back, and the
     epoch ends with an EXACT full-graph mean re-aggregation of every history
-    via chunked edge scatters — all inside the one compiled dispatch.
+    — all inside the one compiled dispatch.
+
+    The refresh is scatter-free (round 5): degree-bucketed padded window
+    GATHERS (``models.inference.bucketed_aggregate``) replace the r3
+    chunked edge scatters — TPU scatter-add serializes per index (~1
+    us/edge; the w=16 refresh over 59.7M edges measured 7.49 s scatter vs
+    0.17 s bucketed, 43x, BENCH_NOTES round 5 "CV refresh").  ``nbr_meta``
+    is ``_BucketedNeighborhoods.static_meta()``; the window tables arrive
+    as the ``nbr_arrays`` ARGUMENT (embedding them as constants would 413
+    the axon remote compile).
 
     Signature::
 
         epoch_fn(state, hists, aggs, epoch_key, train_nids, labels, csr,
-                 cache_values, edge_src, edge_dst, inv_deg)
+                 cache_values, nbr_arrays, inv_deg)
             -> (state, hists, aggs, metrics_acc)
 
-    ``edge_src``/``edge_dst`` are the padded edge list reshaped
-    [chunks, chunk] (padded dst = num_nodes, dropped); ``inv_deg`` is
-    1/max(in_degree,1) [N].
+    ``inv_deg`` is 1/max(in_degree,1) [N] (mean = bucketed sum x inv_deg,
+    bit-matching the host path's max(deg,1) convention).
     """
     from ..models import gcn_cv
     from .state import cast_cv_apply
@@ -1155,8 +1164,8 @@ def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
     @partial(jax.jit, donate_argnames=("state", "hists", "aggs"))
     def epoch_fn(state: TrainState, hists, aggs, epoch_key: jax.Array,
                  train_nids: jax.Array, labels: jax.Array, csr: DeviceCSR,
-                 cache_values: jax.Array, edge_src: jax.Array,
-                 edge_dst: jax.Array, inv_deg: jax.Array):
+                 cache_values: jax.Array, nbr_arrays: dict,
+                 inv_deg: jax.Array):
         metrics_acc = jnp.zeros(5, dtype=jnp.float32)
         if paired:
             csr = csr.with_rows()   # once per dispatch, OUTSIDE the scan
@@ -1224,14 +1233,12 @@ def make_cv_device_epoch_fn(cfg: Config, tx: optax.GradientTransformation,
         )
 
         # end-of-epoch exact refresh: agg[b] = mean over in-neighbors of
-        # hist[b] (the host path's CVHistory.refresh_agg, on device)
+        # hist[b] (the host path's CVHistory.refresh_agg, on device) —
+        # scatter-free bucketed window gathers (43x vs edge scatter-add)
+        from ..models.inference import bucketed_aggregate
+
         def refresh(hist):
-            def step(accum, xs):
-                s, d = xs
-                return accum.at[d].add(jnp.take(hist, s, axis=0),
-                                       mode="drop"), None
-            init = jnp.zeros_like(hist)
-            summed, _ = jax.lax.scan(step, init, (edge_src, edge_dst))
+            summed = bucketed_aggregate(nbr_arrays, nbr_meta, hist, "sum")
             return summed * inv_deg[:, None]
 
         aggs = tuple(refresh(h) for h in hists)

@@ -136,25 +136,18 @@ class Trainer:
                     put(np.zeros((n, w), np.float32)) for w in widths)
                 self._dev_aggs = tuple(
                     put(np.zeros((n, w), np.float32)) for w in widths)
-                e = local_graph.num_edges
-                chunk = min(1 << 20, max(e, 1))
-                pad = (-e) % chunk
-                src = np.concatenate(
-                    [local_graph.indices, np.zeros(pad, np.int32)])
-                dstv = np.concatenate([
-                    np.repeat(np.arange(n, dtype=np.int32),
-                              local_graph.in_degrees.astype(np.int64)),
-                    np.full(pad, n, np.int32),
-                ])
-                ch = len(src) // chunk
-                self._dev_esrc = put(src.reshape(ch, chunk))
-                self._dev_edst = put(dstv.reshape(ch, chunk))
+                # scatter-free refresh tables (round 5): degree-bucketed
+                # padded in-neighbor windows, device_put as jit ARGUMENTS
+                from ..models.inference import _BucketedNeighborhoods
+                bn = _BucketedNeighborhoods(local_graph)
+                self._dev_nbrs = jax.tree.map(put, bn.device_args())
                 self._dev_invdeg = put(
                     (1.0 / np.maximum(local_graph.in_degrees, 1)
                      ).astype(np.float32))
                 self.epoch_fn = make_cv_device_epoch_fn(
                     cfg, self._tx, self.cache.field_offsets, n,
                     dequant_scale=self.cache.dequant_scale_padded,
+                    nbr_meta=bn.static_meta(),
                 )
             elif self._step_mode:
                 from .device_epoch import make_device_step_fns
@@ -445,7 +438,7 @@ class Trainer:
              acc) = self.epoch_fn(
                 self.state, self._dev_hists, self._dev_aggs, key,
                 self._dev_train_nids, self._dev_labels, self._dev_csr,
-                self.cache.cache_values, self._dev_esrc, self._dev_edst,
+                self.cache.cache_values, self._dev_nbrs,
                 self._dev_invdeg,
             )
             return acc
